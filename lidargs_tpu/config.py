@@ -1,0 +1,167 @@
+"""Dataclass configuration for the whole framework.
+
+Replaces the reference's reflection-based argparse groups
+(`arguments/__init__.py:47-161` in /root/reference) with typed dataclasses.
+Defaults mirror the reference's published defaults exactly so that training
+runs are comparable.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class RasterConfig:
+    """Static configuration of the range-view rasterizer.
+
+    The reference hard-codes NUM_CHANNELS=2 / BLOCK 16x1 at CUDA compile time
+    (`config.h:15-17`) and Ray_Divergence_Angle=0.002 (`forward.cu:22`). Here
+    everything is a jit-static dataclass field.
+
+    TPU-specific capacity knobs (the reference allocates dynamically; XLA
+    needs static shapes): `max_visible` bounds the number of gaussians kept
+    after culling, `max_tiles_per_gaussian` bounds the per-gaussian tile
+    rect, `tile_capacity` bounds depth-sorted instances composited per tile.
+    Overflow is counted and reported, never silently wrong for the survivors.
+    """
+
+    channels: int = 2                       # intensity + raydrop
+    tile_h: int = 1                         # pixel rows per physical tile
+    tile_w: int = 128                       # pixel cols per physical tile (lane dim)
+    ref_block_x: int = 16                   # reference's virtual tiling, used for
+    ref_block_y: int = 1                    # bit-parity pixel-rect masking
+    ray_divergence_angle: float = 0.002
+    near: float = 0.0
+    far: float = 80.0
+    alpha_min: float = 1.0 / 255.0
+    transmittance_min: float = 1e-4
+    alpha_clamp: float = 0.99
+    lowpass: float = 0.01                   # added to cov2d diagonal pre 1/d^2
+    # --- static capacities (TPU) ---
+    max_visible: int = 2 ** 18              # gaussians after cull-compaction
+    max_tiles_per_gaussian: int = 32        # per-gaussian tile rect cap
+    tile_capacity: int = 512                # sorted instances composited / tile
+    chunk: int = 16                         # instances per compositing scan step
+
+    def grid_shape(self, H: int, W: int) -> Tuple[int, int]:
+        return (-(-H // self.tile_h), -(-W // self.tile_w))
+
+    def num_tiles(self, H: int, W: int) -> int:
+        gy, gx = self.grid_shape(H, W)
+        return gy * gx
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Neural Gaussian Field hyper-parameters (reference ModelParams,
+    `arguments/__init__.py:47-86`)."""
+
+    feat_dim: int = 32
+    n_offsets: int = 6
+    color_channel: int = 2                  # intensity + raydrop
+    voxel_size: float = 0.0                 # <=0: median 3-NN distance
+    update_depth: int = 3
+    update_init_factor: int = 16
+    update_hierachy_factor: int = 4
+    use_feat_bank: bool = False
+    appearance_dim: int = 0
+    ratio: int = 1
+    add_opacity_dist: bool = True
+    add_cov_dist: bool = True
+    add_color_dist: bool = True
+    mlp_hidden: int = 32
+    # TPU: anchor arrays are padded to a static capacity; growing beyond it
+    # re-materialises at the next power-of-two multiple of this step.
+    anchor_capacity: int = 2 ** 17
+    max_anchors: int = 1_200_000            # densify_until_num_points
+
+
+@dataclass(frozen=True)
+class LrSchedule:
+    init: float = 0.0
+    final: float = 0.0
+    delay_steps: int = 0
+    delay_mult: float = 0.01
+    max_steps: int = 10_000
+
+
+@dataclass(frozen=True)
+class OptConfig:
+    """Optimization params (reference OptimizationParams,
+    `arguments/__init__.py:95-161`)."""
+
+    iterations: int = 10_000
+    anchor_lr: LrSchedule = field(default_factory=lambda: LrSchedule(0.0, 0.0))
+    offset_lr: LrSchedule = field(default_factory=lambda: LrSchedule(0.005, 1e-5))
+    feature_lr: float = 0.005
+    opacity_lr: float = 0.02
+    scaling_lr: float = 0.007
+    rotation_lr: float = 0.002
+    mlp_opacity_lr: LrSchedule = field(default_factory=lambda: LrSchedule(0.002, 2e-4))
+    mlp_cov_lr: LrSchedule = field(default_factory=lambda: LrSchedule(0.004, 4e-4))
+    mlp_color_lr: LrSchedule = field(default_factory=lambda: LrSchedule(0.008, 5e-5))
+    mlp_raydrop_lr: LrSchedule = field(default_factory=lambda: LrSchedule(0.008, 5e-5))
+    mlp_featurebank_lr: LrSchedule = field(default_factory=lambda: LrSchedule(0.001, 1e-5))
+    appearance_lr: LrSchedule = field(default_factory=lambda: LrSchedule(0.05, 5e-5))
+    percent_dense: float = 0.01
+    lambda_dssim: float = 0.2
+    raydrop_lambda: float = 10.0            # 10 waymo / 1 kitti (train.py:164)
+    scale_reg: float = 0.01
+    grad_clip_x: float = 0.01
+    # densification
+    start_stat: int = 500
+    update_from: int = 500
+    update_interval: int = 100
+    update_until: int = 7000
+    min_opacity: float = 0.005
+    success_threshold: float = 0.1
+    densify_grad_threshold: float = 5e-4
+    depth_max: float = 80.0
+    depth_min: float = 5.0                  # kitti 1 / waymo 5
+    adam_eps: float = 1e-15
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    source_path: str = ""
+    data_label: str = "waymo"
+    white_background: bool = False
+    num_frames: int = 50
+    init_points: int = 500_000
+    resolution_scales: Tuple[float, ...] = (1.0,)
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Net-new distributed layer (the reference is single-GPU, SURVEY §2.3).
+
+    data_axis shards frames (batch) across devices; tile_axis shards the
+    range image's azimuth tiles within a replica.
+    """
+
+    data_parallel: int = 1
+    tile_parallel: int = 1
+    data_axis: str = "data"
+    tile_axis: str = "tile"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    opt: OptConfig = field(default_factory=OptConfig)
+    raster: RasterConfig = field(default_factory=RasterConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    model_path: str = "output/run"
+    seed: int = 1234
+    test_iterations: Tuple[int, ...] = (2000, 3000, 4000, 5000, 6000, 7000)
+    save_iterations: Tuple[int, ...] = (4000, 10000)
+    checkpoint_iterations: Tuple[int, ...] = ()
+    log_every: int = 10
+
+
+def replace(cfg, **kw):
+    """Functional update helper for frozen config dataclasses."""
+    return dataclasses.replace(cfg, **kw)

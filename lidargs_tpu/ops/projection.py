@@ -1,0 +1,224 @@
+"""Per-Gaussian range-view projection ("preprocess").
+
+TPU-native re-design of the reference CUDA preprocess kernel
+(`diff_lidargs_rasterization/cuda_rasterizer/forward.cu:257-384`): one fully
+vectorized, autodiff-able JAX function over all gaussians instead of a
+per-thread kernel. Semantics are kept exactly:
+
+  * view transform + euclidean range cull  (forward.cu:298-305)
+  * cov3D from scale/quat                  (computeCov3D, forward.cu:216-253)
+  * micro cross-section basis u1,u2 ⟂ ray  (_proj_2basis, forward.cu:95-119)
+  * cov projected on the plane, +lowpass, scaled 1/dist^2
+                                           (computeCov2D_lidar + forward.cu:318-321)
+  * conic + max-eigenvalue radius          (forward.cu:322-330)
+  * azimuth column p_c, elevation row p_r via binary search over the
+    ascending beam table with fractional interpolation and
+    ray-divergence-angle rejection         (forward.cu:333-359)
+  * anisotropic pixel radii r_x, r_y       (forward.cu:361-362)
+  * the reference's 16x1-block tile rect   (getRect_lidar, auxiliary.h:80-92)
+
+The reference rect is retained in *pixel* units ("parity rect"): during
+compositing a gaussian contributes to a pixel only if the pixel lies inside
+it. This makes rendered images independent of our physical TPU tile shape
+and bit-comparable with the reference's 16x1-strip rasterization.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RasterConfig
+
+
+def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
+    """[..., 4] (r, x, y, z) -> [..., 3, 3]. Standard rotation matrix, same
+    layout as the reference (`utils/general_utils.py:79-100`). The caller is
+    responsible for normalization (the reference normalizes Python-side)."""
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    row0 = jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y)], -1)
+    row1 = jnp.stack([2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x)], -1)
+    row2 = jnp.stack([2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y)], -1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def build_cov3d(scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
+    """World-space covariance Sigma = R S^2 R^T, [..., 3, 3]
+    (computeCov3D, forward.cu:216-253 / build_covariance_from_scaling_rotation,
+    gaussian_model.py:33-37)."""
+    R = quat_to_rotmat(quats)
+    RS = R * scales[..., None, :]          # R @ diag(s)
+    return jnp.matmul(RS, jnp.swapaxes(RS, -1, -2), precision=jax.lax.Precision.HIGHEST)
+
+
+class Splats(NamedTuple):
+    """Preprocessed per-gaussian render state (the analogue of the CUDA
+    GeometryState buffers, rasterizer_impl.h:23-40)."""
+
+    valid: jnp.ndarray        # [P] bool — survives culling
+    depth: jnp.ndarray        # [P] euclidean range (sort key + depth channel)
+    sphere_mean: jnp.ndarray  # [P,3] unit view direction of the mean
+    u1: jnp.ndarray           # [P,3] cross-section basis 1 (view space)
+    u2: jnp.ndarray           # [P,3] cross-section basis 2 (view space)
+    conic: jnp.ndarray        # [P,3] inverse 2x2 covariance (a, b, c)
+    opacity: jnp.ndarray      # [P]
+    feat: jnp.ndarray         # [P,C] composited channels (intensity, raydrop)
+    center: jnp.ndarray       # [P,2] float image coords (p_c, p_r)
+    radii_xy: jnp.ndarray     # [P,2] int pixel radii (r_x, r_y)
+    pix_rect: jnp.ndarray     # [P,4] parity rect: x0, x1, y0, y1 (pixel units)
+
+
+def _project_rows(alpha_el: jnp.ndarray, beams: jnp.ndarray, rda: float):
+    """Elevation angle -> fractional row (pre-flip) + local beam gap +
+    divergence rejection. Mirrors forward.cu:336-358 incl. the asymmetric
+    index-0 branch."""
+    H = beams.shape[0]
+    idx = jnp.clip(jnp.searchsorted(beams, alpha_el, side="left"), 0, H - 1)
+    hi = idx > 0
+    before = jnp.where(hi, beams[jnp.maximum(idx - 1, 0)], beams[0])
+    after = jnp.where(hi, beams[idx], beams[1])
+    gap = after - before
+    frac_hi = (alpha_el - before) / gap
+    row_hi = idx - 1 + frac_hi
+    row_lo = 1 + (alpha_el - after) / gap
+    row = jnp.where(hi, row_hi, row_lo)
+    ok = jnp.where(
+        hi,
+        alpha_el <= after + 2.0 * rda,
+        alpha_el >= before - 2.0 * rda,
+    )
+    return row, gap, ok
+
+
+def _round_half_away(x: jnp.ndarray) -> jnp.ndarray:
+    """C round() for the (non-negative after clamping) rect bounds."""
+    return jnp.floor(x + 0.5)
+
+
+def preprocess_gaussians(
+    means3d: jnp.ndarray,     # [P,3] world
+    scales: jnp.ndarray,      # [P,3] covariance scales (activated)
+    quats: jnp.ndarray,       # [P,4] normalized (r,x,y,z)
+    opacities: jnp.ndarray,   # [P]
+    feat: jnp.ndarray,        # [P,C]
+    mask: jnp.ndarray,        # [P] bool — upstream validity (padding/opacity)
+    w2s_rot: jnp.ndarray,     # [3,3]
+    w2s_trans: jnp.ndarray,   # [3]
+    beams: jnp.ndarray,       # [H] ascending inclinations
+    W: int,
+    cfg: RasterConfig,
+) -> Splats:
+    H = beams.shape[0]
+    f32 = jnp.float32
+    two_pi = 2.0 * jnp.pi
+
+    # tiny geometric matmuls must stay f32 on the MXU (default TPU matmul
+    # precision is bf16, which breaks range-image parity)
+    hi = jax.lax.Precision.HIGHEST
+    p_view = jnp.matmul(means3d, w2s_rot.T, precision=hi) + w2s_trans  # [P,3]
+    dist = jnp.linalg.norm(p_view, axis=-1)                       # [P]
+    valid = mask & (dist < cfg.far) & (dist > cfg.near)
+
+    # --- micro cross-section basis (view space), _proj_2basis ---
+    safe_dist = jnp.maximum(dist, 1e-12)
+    dirn = p_view / safe_dist[:, None]
+    u1_raw = jnp.stack([dirn[:, 1], -dirn[:, 0], jnp.zeros_like(dist)], -1)
+    u1_len = jnp.linalg.norm(u1_raw, axis=-1)
+    degenerate = u1_len <= 0.0
+    u1 = u1_raw / jnp.maximum(u1_len, 1e-20)[:, None]
+    u2 = jnp.cross(dirn, u1)
+    valid = valid & ~degenerate
+
+    # --- cov3D -> projected 2x2 cov (computeCov2D_lidar) ---
+    # T = R_v2w @ [u1|u2]; cov_ab = u_a_world^T Sigma_w u_b_world, which
+    # equals u_a_view^T (R Sigma R^T) u_b_view. We project in view space.
+    cov3d_w = build_cov3d(scales, quats)                          # [P,3,3]
+    cov3d_v = jnp.einsum("ij,pjk,lk->pil", w2s_rot, cov3d_w, w2s_rot, precision=hi)
+    su1 = jnp.einsum("pij,pj->pi", cov3d_v, u1, precision=hi)
+    su2 = jnp.einsum("pij,pj->pi", cov3d_v, u2, precision=hi)
+    inv_d2 = 1.0 / jnp.maximum(dist * dist, 1e-20)
+    a = (jnp.sum(u1 * su1, -1) + cfg.lowpass) * inv_d2
+    b = (jnp.sum(u1 * su2, -1)) * inv_d2
+    c = (jnp.sum(u2 * su2, -1) + cfg.lowpass) * inv_d2
+
+    det = a * c - b * b
+    valid = valid & (det > 0.0)
+    det_safe = jnp.where(det > 0.0, det, 1.0)
+    conic = jnp.stack([c, -b, a], -1) / det_safe[:, None]
+
+    mid = 0.5 * (a + c)
+    lam_max = mid + jnp.sqrt(jnp.maximum(1e-9, mid * mid - det))
+    sigma = jnp.sqrt(jnp.maximum(1e-9, lam_max))
+
+    # --- range-image coordinates ---
+    beta = jnp.pi - jnp.arctan2(p_view[:, 1], p_view[:, 0])
+    p_c = beta / (two_pi / W)
+    alpha_el = jnp.arctan2(p_view[:, 2], jnp.sqrt(p_view[:, 0] ** 2 + p_view[:, 1] ** 2))
+    row, gap, row_ok = _project_rows(alpha_el, beams, cfg.ray_divergence_angle)
+    valid = valid & row_ok
+    p_r = H - row - 1.0
+
+    r_y = jnp.ceil(3.0 * sigma / jnp.tan(jnp.abs(gap)))
+    r_x = jnp.ceil(3.0 * sigma / jnp.tan(two_pi / W))
+
+    # --- the reference's tile rect (BLOCK 16x1), kept in pixel units ---
+    bx, by = cfg.ref_block_x, cfg.ref_block_y
+    grid_x = -(-W // bx)
+    rmin_x = jnp.clip(jnp.floor((p_c - r_x) / bx), 0, grid_x)
+    rmax_x = jnp.clip(jnp.floor((p_c + r_x + bx - 1) / bx), 0, grid_x)
+    rmin_y = jnp.clip(_round_half_away((p_r - r_y) / by), 0, H)
+    rmax_y = jnp.clip(
+        jnp.maximum(_round_half_away(p_r + r_y / by), _round_half_away(p_r / by) + 1),
+        0,
+        H,
+    )
+    valid = valid & ((rmax_x - rmin_x) * (rmax_y - rmin_y) > 0)
+
+    pix_rect = jnp.stack([rmin_x * bx, rmax_x * bx, rmin_y * by, rmax_y * by], -1)
+
+    zero_if = lambda x: jnp.where(valid[(...,) + (None,) * (x.ndim - 1)], x, jnp.zeros_like(x))
+    return Splats(
+        valid=valid,
+        depth=jnp.where(valid, dist, jnp.inf).astype(f32),
+        sphere_mean=dirn.astype(f32),
+        u1=u1.astype(f32),
+        u2=u2.astype(f32),
+        conic=zero_if(conic).astype(f32),
+        opacity=jnp.where(valid, opacities, 0.0).astype(f32),
+        feat=feat.astype(f32),
+        center=jnp.stack([p_c, p_r], -1).astype(f32),
+        radii_xy=jnp.where(valid[:, None], jnp.stack([r_x, r_y], -1), 0.0).astype(jnp.int32),
+        pix_rect=pix_rect.astype(jnp.int32),
+    )
+
+
+def visible_filter(
+    anchors: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    mask: jnp.ndarray,
+    w2s_rot: jnp.ndarray,
+    w2s_trans: jnp.ndarray,
+    beams: jnp.ndarray,
+    W: int,
+    cfg: RasterConfig,
+) -> jnp.ndarray:
+    """Anchor pre-culling: the reference's `visible_filter` / prefilter_voxel
+    path (forward.cu:389-497, gaussian_renderer/__init__.py:203-257). Returns
+    the `radii > 0` boolean mask."""
+    P = anchors.shape[0]
+    splats = preprocess_gaussians(
+        anchors,
+        scales,
+        quats,
+        jnp.ones((P,), jnp.float32),
+        jnp.zeros((P, 1), jnp.float32),
+        mask,
+        w2s_rot,
+        w2s_trans,
+        beams,
+        W,
+        cfg,
+    )
+    return splats.valid

@@ -1,0 +1,23 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+Pytest plugins (jaxtyping) import jax before this conftest runs, which locks
+the JAX_PLATFORMS *default* read from the ambient env (the TPU tunnel).
+jax.config.update still works because no backend is initialized yet — without
+it every eager op would round-trip through the TPU tunnel (~0.8 s/op).
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
+assert jax.device_count() == 8, "tests expect 8 virtual CPU devices"
