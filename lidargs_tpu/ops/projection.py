@@ -116,19 +116,30 @@ def preprocess_gaussians(
     # tiny geometric matmuls must stay f32 on the MXU (default TPU matmul
     # precision is bf16, which breaks range-image parity)
     hi = jax.lax.Precision.HIGHEST
-    p_view = jnp.matmul(means3d, w2s_rot.T, precision=hi) + w2s_trans  # [P,3]
-    dist = jnp.linalg.norm(p_view, axis=-1)                       # [P]
+    p_view_raw = jnp.matmul(means3d, w2s_rot.T, precision=hi) + w2s_trans  # [P,3]
+
+    # Double-where NaN hygiene: padded/degenerate rows are replaced by a safe
+    # point *before* any singular op (norm/atan2 at the origin have NaN
+    # gradients that a post-hoc where cannot remove). The reference's CUDA
+    # kernels simply never launch threads for such rows.
+    sq = jnp.sum(p_view_raw * p_view_raw, axis=-1)
+    mask = mask & (sq > 0.0)
+    e_x = jnp.array([1.0, 0.0, 0.0], p_view_raw.dtype)
+    p_view = jnp.where(mask[:, None], p_view_raw, e_x)
+    dist = jnp.sqrt(jnp.sum(p_view * p_view, axis=-1))
     valid = mask & (dist < cfg.far) & (dist > cfg.near)
 
     # --- micro cross-section basis (view space), _proj_2basis ---
     safe_dist = jnp.maximum(dist, 1e-12)
     dirn = p_view / safe_dist[:, None]
-    u1_raw = jnp.stack([dirn[:, 1], -dirn[:, 0], jnp.zeros_like(dist)], -1)
-    u1_len = jnp.linalg.norm(u1_raw, axis=-1)
-    degenerate = u1_len <= 0.0
-    u1 = u1_raw / jnp.maximum(u1_len, 1e-20)[:, None]
-    u2 = jnp.cross(dirn, u1)
+    horiz2 = dirn[:, 0] ** 2 + dirn[:, 1] ** 2
+    degenerate = horiz2 <= 0.0
     valid = valid & ~degenerate
+    u1_raw = jnp.stack([dirn[:, 1], -dirn[:, 0], jnp.zeros_like(dist)], -1)
+    u1_raw = jnp.where(degenerate[:, None], e_x, u1_raw)
+    u1_len = jnp.sqrt(jnp.where(degenerate, 1.0, horiz2))
+    u1 = u1_raw / u1_len[:, None]
+    u2 = jnp.cross(dirn, u1)
 
     # --- cov3D -> projected 2x2 cov (computeCov2D_lidar) ---
     # T = R_v2w @ [u1|u2]; cov_ab = u_a_world^T Sigma_w u_b_world, which
@@ -152,9 +163,11 @@ def preprocess_gaussians(
     sigma = jnp.sqrt(jnp.maximum(1e-9, lam_max))
 
     # --- range-image coordinates ---
-    beta = jnp.pi - jnp.arctan2(p_view[:, 1], p_view[:, 0])
+    p_flat = jnp.where(degenerate[:, None], e_x, p_view)  # guard atan2(0,0) grads
+    beta = jnp.pi - jnp.arctan2(p_flat[:, 1], p_flat[:, 0])
     p_c = beta / (two_pi / W)
-    alpha_el = jnp.arctan2(p_view[:, 2], jnp.sqrt(p_view[:, 0] ** 2 + p_view[:, 1] ** 2))
+    horiz = jnp.sqrt(jnp.where(degenerate, 1.0, p_flat[:, 0] ** 2 + p_flat[:, 1] ** 2))
+    alpha_el = jnp.arctan2(p_flat[:, 2], horiz)
     row, gap, row_ok = _project_rows(alpha_el, beams, cfg.ray_divergence_angle)
     valid = valid & row_ok
     p_r = H - row - 1.0
@@ -178,9 +191,11 @@ def preprocess_gaussians(
     pix_rect = jnp.stack([rmin_x * bx, rmax_x * bx, rmin_y * by, rmax_y * by], -1)
 
     zero_if = lambda x: jnp.where(valid[(...,) + (None,) * (x.ndim - 1)], x, jnp.zeros_like(x))
+    # finite sort-last sentinel (inf would 0*inf=NaN in masked compositing)
+    depth_sentinel = 4.0 * cfg.far
     return Splats(
         valid=valid,
-        depth=jnp.where(valid, dist, jnp.inf).astype(f32),
+        depth=jnp.where(valid, dist, depth_sentinel).astype(f32),
         sphere_mean=dirn.astype(f32),
         u1=u1.astype(f32),
         u2=u2.astype(f32),

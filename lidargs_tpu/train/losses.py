@@ -1,0 +1,123 @@
+"""Losses and image metrics.
+
+Formulas match the reference exactly: l1/l2 (`utils/loss_utils.py:18-22`),
+11x11 sigma-1.5 gaussian-window SSIM with same-padding (`:24-64`), PSNR
+(`utils/image_utils.py:17-19`), and the five-term training loss
+(`train.py:150-203`).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def l1_loss(x, y):
+    return jnp.mean(jnp.abs(x - y))
+
+
+def l2_loss(x, y):
+    return jnp.mean((x - y) ** 2)
+
+
+def psnr(img, gt):
+    mse = jnp.mean((img - gt) ** 2, axis=(-3, -2, -1))
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-20)))
+
+
+def _gaussian_window(size: int = 11, sigma: float = 1.5):
+    x = jnp.arange(size, dtype=jnp.float32) - size // 2
+    g = jnp.exp(-(x**2) / (2 * sigma**2))
+    g = g / g.sum()
+    return jnp.outer(g, g)
+
+
+@partial(jax.jit, static_argnames=("window_size",))
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11):
+    """[C,H,W] single-image SSIM, mean-reduced."""
+    C_ch = img1.shape[0]
+    w = _gaussian_window(window_size)
+    kernel = jnp.broadcast_to(w[None, None], (C_ch, 1, window_size, window_size))
+
+    def conv(x):
+        return jax.lax.conv_general_dilated(
+            x[None],
+            kernel,
+            window_strides=(1, 1),
+            padding="SAME",
+            feature_group_count=C_ch,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )[0]
+
+    mu1, mu2 = conv(img1), conv(img2)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = conv(img1 * img1) - mu1_sq
+    s2 = conv(img2 * img2) - mu2_sq
+    s12 = conv(img1 * img2) - mu12
+    c1, c2 = 0.01**2, 0.03**2
+    m = ((2 * mu12 + c1) * (2 * s12 + c2)) / ((mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
+    return jnp.mean(m)
+
+
+class LossTerms(NamedTuple):
+    total: jnp.ndarray
+    depth: jnp.ndarray
+    intensity: jnp.ndarray
+    raydrop: jnp.ndarray
+    scale_reg: jnp.ndarray
+    grad_x: jnp.ndarray
+    l1_intensity: jnp.ndarray
+    ssim_intensity: jnp.ndarray
+
+
+def lidar_losses(
+    render_color: jnp.ndarray,   # [2,H,W] intensity, raydrop
+    render_depth: jnp.ndarray,   # [H,W]
+    gt_image: jnp.ndarray,       # [3,H,W] raydrop, intensity, depth
+    scaling: jnp.ndarray,        # [N,3] decoded cov scales
+    scaling_mask: jnp.ndarray,   # [N] gaussians that exist
+    lambda_dssim: float = 0.2,
+    raydrop_lambda: float = 10.0,
+    scale_reg: float = 0.01,
+    grad_clip_x: float = 0.01,
+) -> LossTerms:
+    """The reference training loss (train.py:150-203): GT-raydrop-masked
+    depth L1 + intensity L1/SSIM mix + raydrop MSE + scale-product
+    regularizer + masked azimuth-gradient L1."""
+    ray_drop = gt_image[0:1]
+    gt_intensity = gt_image[1:2] * ray_drop
+    gt_depth = gt_image[2:3] * ray_drop
+
+    render_intensity = render_color[0:1] * ray_drop
+    render_raydrop = render_color[1:2]
+    depth = render_depth[None] * ray_drop
+
+    raydrop_loss = raydrop_lambda * l2_loss(render_raydrop, ray_drop)
+    ll1 = l1_loss(render_intensity, gt_intensity)
+    depth_loss = l1_loss(depth, gt_depth)
+    ssim_loss = 1.0 - ssim(render_intensity, gt_intensity)
+    intensity_loss = (1.0 - lambda_dssim) * ll1 + lambda_dssim * ssim_loss
+
+    n_sel = jnp.maximum(jnp.sum(scaling_mask), 1.0)
+    scaling_reg = scale_reg * jnp.sum(
+        jnp.prod(scaling, axis=1) * scaling_mask
+    ) / n_sel
+
+    pred_gx = jnp.abs(depth[:, :, :-1] - depth[:, :, 1:])
+    gt_gx = jnp.abs(gt_depth[:, :, :-1] - gt_depth[:, :, 1:])
+    mask_dx = ray_drop[:, :, :-1] * (gt_gx < grad_clip_x)
+    grad_loss = l1_loss(pred_gx * mask_dx, gt_gx * mask_dx)
+
+    total = depth_loss + intensity_loss + raydrop_loss + scaling_reg + grad_loss
+    return LossTerms(
+        total=total,
+        depth=depth_loss,
+        intensity=intensity_loss,
+        raydrop=raydrop_loss,
+        scale_reg=scaling_reg,
+        grad_x=grad_loss,
+        l1_intensity=ll1,
+        ssim_intensity=ssim_loss,
+    )

@@ -1,0 +1,149 @@
+"""Neural Gaussian Field + training-step tests (reference behavior:
+Scaffold-GS decode, 5-term loss, per-group Adam schedules)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidargs_tpu.config import (
+    LrSchedule,
+    ModelConfig,
+    OptConfig,
+    RasterConfig,
+)
+from lidargs_tpu.lidar.beams import uniform_beam_inclinations
+from lidargs_tpu.lidar.frames import LidarFrame
+from lidargs_tpu.models.field import (
+    generate_neural_gaussians,
+    init_field_from_points,
+    render_field,
+)
+from lidargs_tpu.train.losses import lidar_losses, psnr, ssim
+from lidargs_tpu.train.schedule import expon_lr
+from lidargs_tpu.train.trainer import Trainer, init_train_state
+from lidargs_tpu.utils.testing import make_scene, scene_splats
+from lidargs_tpu.ops import render_tiled
+
+MCFG = ModelConfig(feat_dim=16, n_offsets=4, mlp_hidden=16, anchor_capacity=512)
+RCFG = RasterConfig(max_visible=2048, max_tiles_per_gaussian=32, tile_capacity=128, chunk=8)
+H, W = 16, 256
+
+
+def _synthetic_frame(key):
+    """GT frame rendered from a known gaussian set via our own renderer."""
+    sc = make_scene(key, n=300, H=H, W=W, r_min=5.0, r_max=40.0, scale_px=3.0)
+    splats = jax.jit(lambda: scene_splats(sc, RCFG))()
+    out = jax.jit(lambda s: render_tiled(s, sc.beams, sc.W, jnp.zeros((2,)), RCFG))(splats)
+    raydrop = (out.occ > 0.5).astype(jnp.float32)
+    gt = jnp.stack([raydrop[0] if raydrop.ndim == 3 else raydrop,
+                    out.color[0], out.depth], 0)
+    frame = LidarFrame(
+        w2s_rot=sc.w2s_rot, w2s_trans=sc.w2s_trans,
+        center=jnp.zeros(3), beams=sc.beams, gt_image=gt,
+        uid=jnp.zeros((), jnp.int32),
+    )
+    return frame, sc
+
+
+def _init_field(key, frame):
+    """Anchors from back-projected GT points (the reference's init cloud)."""
+    from lidargs_tpu.lidar.pano import pano_to_lidar
+
+    pano = np.asarray(frame.gt_image[2])
+    pts = pano_to_lidar(pano, beam_inclinations=np.asarray(frame.beams))
+    return init_field_from_points(key, MCFG, pts, voxel_size=2.5)
+
+
+def test_field_init_and_decode():
+    frame, _ = _synthetic_frame(jax.random.key(0))
+    field = _init_field(jax.random.key(1), frame)
+    n = int(field.valid.sum())
+    assert 0 < n <= MCFG.anchor_capacity
+    # anchors sit on the voxel grid
+    a = np.asarray(field.params["anchor"][:n])
+    vs = field.voxel_size
+    np.testing.assert_allclose(a, np.round(a / vs) * vs, atol=1e-5)
+
+    ng = jax.jit(
+        lambda p: generate_neural_gaussians(
+            p, field.valid, jnp.ones_like(field.valid), jnp.zeros(3), MCFG
+        )
+    )(field.params)
+    Ck = MCFG.anchor_capacity * MCFG.n_offsets
+    assert ng.xyz.shape == (Ck, 3)
+    assert ng.feat.shape == (Ck, 2)
+    assert float(ng.feat.min()) >= 0.0 and float(ng.feat.max()) <= 1.0  # sigmoid
+    assert float(jnp.abs(ng.opacity).max()) <= 1.0                      # tanh
+    # invalid anchors never produce gaussians
+    assert not bool(ng.mask.reshape(MCFG.anchor_capacity, -1)[n:].any())
+    # quaternions normalized
+    q = np.linalg.norm(np.asarray(ng.rot), axis=1)
+    np.testing.assert_allclose(q, 1.0, atol=1e-5)
+
+
+def test_expon_lr_endpoints():
+    s = LrSchedule(init=0.01, final=0.0001, max_steps=100)
+    fn = expon_lr(s)
+    assert np.isclose(float(fn(0)), 0.01)
+    assert np.isclose(float(fn(100)), 0.0001)
+    assert np.isclose(float(fn(50)), np.sqrt(0.01 * 0.0001))
+    zero = expon_lr(LrSchedule(0.0, 0.0))
+    assert float(zero(10)) == 0.0
+
+
+def test_ssim_identity_and_range():
+    img = jax.random.uniform(jax.random.key(0), (1, 16, 64))
+    assert float(ssim(img, img)) > 0.999
+    other = jax.random.uniform(jax.random.key(1), (1, 16, 64))
+    assert float(ssim(img, other)) < 0.9
+
+
+def test_losses_zero_for_perfect_render():
+    frame, _ = _synthetic_frame(jax.random.key(2))
+    gt = frame.gt_image
+    color = jnp.stack([gt[1], gt[0]], 0)  # perfect intensity + raydrop
+    lt = lidar_losses(color, gt[2], gt, jnp.ones((4, 3)), jnp.zeros((4,)))
+    assert float(lt.depth) < 1e-6
+    assert float(lt.raydrop) < 1e-6
+    assert float(lt.l1_intensity) < 1e-6
+
+
+def test_training_reduces_loss():
+    frame, _ = _synthetic_frame(jax.random.key(3))
+    field = _init_field(jax.random.key(4), frame)
+    ocfg = OptConfig(start_stat=5, update_from=10, update_until=10_000)
+    trainer = Trainer(mcfg=MCFG, ocfg=ocfg, rcfg=RCFG, bg=jnp.zeros((2,)))
+    state = init_train_state(field, MCFG)
+
+    losses = []
+    for it in range(1, 121):
+        state, m = trainer.step(state, frame, it)
+        losses.append(float(m.loss.total))
+    assert np.isfinite(losses).all()
+    first = np.mean(losses[:10])
+    last = np.mean(losses[-10:])
+    assert last < 0.7 * first, (first, last)
+    # densification statistics accumulated
+    assert float(state.anchor_demon.max()) > 100
+    assert float(state.offset_denom.max()) > 0
+    assert float(state.offset_grad_accum.max()) > 0
+
+
+def test_render_field_improves_psnr_over_init():
+    frame, _ = _synthetic_frame(jax.random.key(5))
+    field = _init_field(jax.random.key(6), frame)
+    ocfg = OptConfig(start_stat=5)
+    trainer = Trainer(mcfg=MCFG, ocfg=ocfg, rcfg=RCFG, bg=jnp.zeros((2,)))
+    state = init_train_state(field, MCFG)
+
+    render = jax.jit(
+        lambda p, v: render_field(p, v, frame, MCFG, RCFG, jnp.zeros((2,)))[0]
+    )
+    gt_int = frame.gt_image[1:2] * frame.gt_image[0:1]
+
+    out0 = render(state.params, state.valid)
+    p0 = float(psnr(out0.color[0:1] * frame.gt_image[0:1], gt_int))
+    for it in range(1, 151):
+        state, _ = trainer.step(state, frame, it)
+    out1 = render(state.params, state.valid)
+    p1 = float(psnr(out1.color[0:1] * frame.gt_image[0:1], gt_int))
+    assert p1 > p0 + 2.0, (p0, p1)
