@@ -1,0 +1,104 @@
+"""End-of-round benchmark: Waymo-scale range-view render FPS on one chip.
+
+Mirrors the reference's FPS measurement (train.py:408-462: wall-clock per
+render() call — prefilter + MLP decode + splat — with device sync, mean of
+1/t excluding 5 warmup frames) on the reference workload shape: 64x2650
+range view (scene/dataset_readers.py:345-347), Scaffold-GS field with k=6
+offsets per anchor.
+
+The reference repo publishes no numbers (BASELINE.md), so vs_baseline is
+reported against the 10 Hz real-time bar of the Waymo LiDAR itself — the
+paper's headline claim is "real-time" re-simulation (readme.md:1,28).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from lidargs_tpu.config import ModelConfig, RasterConfig
+    from lidargs_tpu.lidar.beams import uniform_beam_inclinations
+    from lidargs_tpu.lidar.frames import LidarFrame
+    from lidargs_tpu.models.field import init_field_params, render_field
+
+    H, W = 64, 2650
+    N_ANCHORS = 60_000
+    mcfg = ModelConfig(anchor_capacity=65_536)
+    rcfg = RasterConfig(
+        max_visible=2 ** 18,
+        max_tiles_per_gaussian=16,
+        tile_capacity=384,
+        chunk=16,
+    )
+
+    # synthetic urban-ish scene: anchors on the sensor's visible shell
+    rng = np.random.default_rng(0)
+    az = rng.uniform(-np.pi, np.pi, N_ANCHORS)
+    el = rng.uniform(np.radians(-20.0), np.radians(2.0), N_ANCHORS)
+    r = rng.uniform(4.0, 75.0, N_ANCHORS)
+    pts = np.stack(
+        [r * np.cos(el) * np.cos(az), r * np.cos(el) * np.sin(az), r * np.sin(el)], -1
+    ).astype(np.float32)
+
+    params = init_field_params(jax.random.key(0), mcfg)
+    C = mcfg.anchor_capacity
+    params["anchor"] = params["anchor"].at[:N_ANCHORS].set(jnp.asarray(pts))
+    scale = np.log(np.clip(r * 0.004, 0.02, 0.5)).astype(np.float32)
+    params["scaling"] = params["scaling"].at[:N_ANCHORS].set(
+        jnp.asarray(np.repeat(scale[:, None], 6, axis=1))
+    )
+    params["feat"] = params["feat"].at[:N_ANCHORS].set(
+        jax.random.normal(jax.random.key(1), (N_ANCHORS, mcfg.feat_dim)) * 0.3
+    )
+    valid = jnp.arange(C) < N_ANCHORS
+
+    beams = uniform_beam_inclinations(2.4, 20.9, H)  # Waymo-like vertical FOV
+    gt = np.zeros((3, H, W), np.float32)
+    frame = LidarFrame.from_lidar2world(np.eye(4), beams, gt, uid=0)
+    bg = jnp.zeros((2,), jnp.float32)
+
+    fwd = jax.jit(lambda p, v, f: render_field(p, v, f, mcfg, rcfg, bg)[0])
+
+    out = fwd(params, valid, frame)
+    jax.block_until_ready(out.color)
+    n_vis = int(out.visible.sum())
+    occ = float(out.occ.mean())
+
+    # warmup (reference excludes 5 frames) then timed loop with final sync
+    for _ in range(5):
+        out = fwd(params, valid, frame)
+    jax.block_until_ready(out.color)
+    n_iter = 30
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = fwd(params, valid, frame)
+    jax.block_until_ready(out.color)
+    dt = (time.perf_counter() - t0) / n_iter
+
+    fps = 1.0 / dt
+    rays_per_s = H * W * fps
+    result = {
+        "metric": "render_fps_64x2650_scaffold_k6",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 10.0, 3),  # 10 Hz LiDAR real-time bar
+    }
+    print(
+        f"# {n_vis} visible gaussians, mean occ {occ:.3f}, "
+        f"{rays_per_s/1e6:.1f} Mrays/s, {dt*1e3:.2f} ms/frame",
+        file=sys.stderr,
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -249,6 +249,7 @@ def render_field(
     rcfg: RasterConfig,
     bg: jnp.ndarray,
     sphere_proxy: Optional[jnp.ndarray] = None,
+    tile_spec=None,
 ):
     """Full render path: prefilter -> decode -> preprocess -> tiled splat
     (the reference's train-loop body, train.py:144-146).
@@ -266,5 +267,5 @@ def render_field(
     )
     if sphere_proxy is not None:
         splats = splats._replace(sphere_mean=splats.sphere_mean + sphere_proxy)
-    out = render_tiled(splats, frame.beams, frame.W, bg, rcfg)
+    out = render_tiled(splats, frame.beams, frame.W, bg, rcfg, tile_spec=tile_spec)
     return out, ng, anchor_visible

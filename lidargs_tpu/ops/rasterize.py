@@ -122,7 +122,13 @@ def render_tiled(
     W: int,
     bg: jnp.ndarray,
     cfg: RasterConfig,
+    tile_spec=None,
 ) -> RenderOut:
+    """`tile_spec`: optional jax.sharding.PartitionSpec entry (axis name) to
+    shard the per-tile lists over a mesh axis — the net-new multi-chip path
+    (SURVEY.md §2.3): tiles are independent after binning, so the
+    compositing scan partitions cleanly; only the (cheap) binning sort and
+    image reassembly communicate."""
     H = beams.shape[0]
     P = splats.valid.shape[0]
     gy, gx = cfg.grid_shape(H, W)
@@ -138,6 +144,16 @@ def render_tiled(
 
     ids, inst_valid, n_overflow = bin_instances(sp, cfg, gx, gy)
     pix_x, pix_y, dirs = _tile_pixels(H, W, cfg, gx, gy, beams)
+    if tile_spec is not None:
+        from jax.sharding import PartitionSpec as _P
+
+        wsc = jax.lax.with_sharding_constraint
+        spec2 = _P(tile_spec, None)
+        ids = wsc(ids, spec2)
+        inst_valid = wsc(inst_valid, spec2)
+        pix_x = wsc(pix_x, spec2)
+        pix_y = wsc(pix_y, spec2)
+        dirs = wsc(dirs, _P(tile_spec, None, None))
 
     out = composite_depth_ordered(sp, ids, inst_valid, dirs, pix_x, pix_y, cfg)
 

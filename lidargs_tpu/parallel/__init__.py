@@ -1,0 +1,2 @@
+from .mesh import make_mesh, replicated, frame_sharded
+from .shard import dp_train_step, make_dp_trainer

@@ -1,0 +1,142 @@
+"""Data-parallel training step over a frame batch.
+
+Net-new distributed layer (the reference trains one frame per step on one
+GPU, SURVEY.md §2.3). SPMD design, not NCCL translation:
+
+  * params replicated, frame batch sharded over the 'data' mesh axis
+    (in_shardings); the per-frame render/loss is a vmap, so XLA partitions
+    the batch and inserts the gradient all-reduce (psum over 'data')
+    automatically, overlapping it with backward compute on ICI.
+  * densification statistics are batch-reduced exactly as running the
+    reference loop B times: visit counts and gradient-norm sums add per
+    frame (per-frame sphere proxies keep the signal exact).
+  * single-frame renders can additionally shard tile lists over the 'tile'
+    axis (ops/rasterize.py tile_spec).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ModelConfig, OptConfig, ParallelConfig, RasterConfig
+from ..lidar.frames import LidarFrame
+from ..models.field import render_field
+from ..train.losses import lidar_losses
+from ..train.optim import adam_update, lr_schedules
+from ..train.trainer import StepMetrics, TrainState
+
+
+def dp_train_step(
+    state: TrainState,
+    frames: LidarFrame,          # stacked: every leaf has leading batch dim
+    bg: jnp.ndarray,
+    mcfg: ModelConfig,
+    rcfg: RasterConfig,
+    ocfg: OptConfig,
+    update_stats: bool = True,
+):
+    """One optimization step over a batch of frames (mean loss)."""
+    C = state.params["anchor"].shape[0]
+    k = mcfg.n_offsets
+    B = frames.gt_image.shape[0]
+    proxy0 = jnp.zeros((B, C * k, 3), jnp.float32)
+
+    def loss_fn(params, proxy_b):
+        def one(frame, proxy):
+            out, ng, anchor_vis = render_field(
+                params, state.valid, frame, mcfg, rcfg, bg, sphere_proxy=proxy
+            )
+            lt = lidar_losses(
+                out.color, out.depth, frame.gt_image, ng.scaling, ng.mask,
+                lambda_dssim=ocfg.lambda_dssim,
+                raydrop_lambda=ocfg.raydrop_lambda,
+                scale_reg=ocfg.scale_reg,
+                grad_clip_x=ocfg.grad_clip_x,
+            )
+            aux = (
+                anchor_vis,
+                ng.neural_opacity,
+                ng.sel_mask,
+                out.visible,
+                out.n_dropped,
+                out.n_overflow,
+                lt,
+            )
+            return lt.total, aux
+
+        totals, aux = jax.vmap(one)(frames, proxy_b)
+        return jnp.mean(totals), aux
+
+    (_, aux), (grads, proxy_grad) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(state.params, proxy0)
+    anchor_vis_b, neural_op_b, sel_mask_b, visible_b, dropped_b, overflow_b, lt_b = aux
+
+    if update_stats:
+        vis_anchor_b = anchor_vis_b & state.valid[None]              # [B, C]
+        op_b = jnp.maximum(neural_op_b, 0.0).reshape(B, C, k)
+        opacity_accum = state.opacity_accum + jnp.sum(
+            jnp.where(vis_anchor_b, op_b.sum(-1), 0.0), axis=0
+        )
+        anchor_demon = state.anchor_demon + vis_anchor_b.sum(0).astype(jnp.float32)
+        stat_mask_b = sel_mask_b & visible_b                          # [B, C*k]
+        # mean-loss gradients are 1/B of per-frame sums; undo for the stats
+        gnorm_b = jnp.linalg.norm(proxy_grad, axis=-1) * B
+        offset_grad_accum = state.offset_grad_accum + jnp.sum(
+            jnp.where(stat_mask_b, gnorm_b, 0.0), axis=0
+        )
+        offset_denom = state.offset_denom + stat_mask_b.sum(0).astype(jnp.float32)
+    else:
+        opacity_accum = state.opacity_accum
+        anchor_demon = state.anchor_demon
+        offset_grad_accum = state.offset_grad_accum
+        offset_denom = state.offset_denom
+
+    schedules = lr_schedules(ocfg)
+    new_params, new_opt = adam_update(
+        state.params, grads, state.opt, schedules, state.step, ocfg
+    )
+    new_state = TrainState(
+        params=new_params,
+        opt=new_opt,
+        valid=state.valid,
+        step=state.step + 1,
+        opacity_accum=opacity_accum,
+        anchor_demon=anchor_demon,
+        offset_grad_accum=offset_grad_accum,
+        offset_denom=offset_denom,
+    )
+    loss_mean = jax.tree.map(jnp.mean, lt_b)
+    metrics = StepMetrics(
+        loss=loss_mean,
+        n_anchors=jnp.sum(state.valid),
+        n_visible=jnp.sum(visible_b[0]),
+        n_dropped=jnp.max(dropped_b),
+        n_overflow=jnp.max(overflow_b),
+    )
+    return new_state, metrics
+
+
+def make_dp_trainer(
+    mesh: Mesh,
+    mcfg: ModelConfig,
+    rcfg: RasterConfig,
+    ocfg: OptConfig,
+    bg: jnp.ndarray,
+    pcfg: ParallelConfig = ParallelConfig(),
+):
+    """Jitted data-parallel step: state replicated, frames sharded on
+    'data'. Returns fn(state, stacked_frames) -> (state, metrics)."""
+    repl = NamedSharding(mesh, P())
+    fsh = NamedSharding(mesh, P(pcfg.data_axis))
+
+    step = jax.jit(
+        partial(dp_train_step, bg=bg, mcfg=mcfg, rcfg=rcfg, ocfg=ocfg),
+        in_shardings=(repl, fsh),
+        donate_argnums=(0,),
+    )
+    return step

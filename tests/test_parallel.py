@@ -1,0 +1,112 @@
+"""Distributed layer tests on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidargs_tpu.config import ModelConfig, OptConfig, RasterConfig
+from lidargs_tpu.lidar.frames import LidarFrame, stack_frames
+from lidargs_tpu.models.field import init_field_from_points
+from lidargs_tpu.parallel.mesh import make_mesh
+from lidargs_tpu.parallel.shard import make_dp_trainer
+from lidargs_tpu.train.trainer import Trainer, init_train_state
+from lidargs_tpu.ops import render_tiled
+from lidargs_tpu.utils.testing import make_scene, scene_splats
+from lidargs_tpu.lidar.pano import pano_to_lidar
+
+MCFG = ModelConfig(feat_dim=8, n_offsets=2, mlp_hidden=8, anchor_capacity=256)
+RCFG = RasterConfig(max_visible=512, max_tiles_per_gaussian=16, tile_capacity=64, chunk=8)
+H, W = 8, 256
+
+
+def _frame(key):
+    sc = make_scene(key, n=100, H=H, W=W, r_min=5.0, r_max=40.0, scale_px=3.0)
+    out = jax.jit(
+        lambda: render_tiled(scene_splats(sc, RCFG), sc.beams, sc.W, jnp.zeros((2,)), RCFG)
+    )()
+    raydrop = (out.occ > 0.5).astype(jnp.float32)
+    gt = jnp.stack([raydrop, out.color[0], out.depth], 0)
+    return (
+        LidarFrame(sc.w2s_rot, sc.w2s_trans, jnp.zeros(3), sc.beams, gt,
+                   jnp.zeros((), jnp.int32)),
+        sc,
+    )
+
+
+def _field(key, frame):
+    pts = pano_to_lidar(np.asarray(frame.gt_image[2]),
+                        beam_inclinations=np.asarray(frame.beams))
+    return init_field_from_points(key, MCFG, pts, voxel_size=4.0)
+
+
+def test_dp_step_matches_single_device_step():
+    """B identical frames under DP must produce the same params as one
+    single-frame step (mean of identical grads)."""
+    frame, _ = _frame(jax.random.key(0))
+    field = _field(jax.random.key(1), frame)
+    ocfg = OptConfig(start_stat=0)
+
+    trainer = Trainer(mcfg=MCFG, ocfg=ocfg, rcfg=RCFG, bg=jnp.zeros((2,)))
+    s_single = init_train_state(field, MCFG)
+    s_single, m_single = trainer.step(s_single, frame, 1)
+
+    mesh = make_mesh(data=8, tile=1)
+    dp_step = make_dp_trainer(mesh, MCFG, RCFG, ocfg, bg=jnp.zeros((2,)))
+    # fresh field: the single step donated (deleted) the first one's buffers
+    field2 = _field(jax.random.key(1), frame)
+    s_dp = init_train_state(field2, MCFG)
+    batch = stack_frames([frame] * 8)
+    s_dp, m_dp = dp_step(s_dp, batch)
+
+    for k in ("anchor", "offset", "feat", "scaling"):
+        np.testing.assert_allclose(
+            np.asarray(s_dp.params[k]), np.asarray(s_single.params[k]),
+            atol=1e-5, rtol=1e-4,
+        )
+    # stats counted once per frame in the batch
+    np.testing.assert_allclose(
+        np.asarray(s_dp.anchor_demon), 8 * np.asarray(s_single.anchor_demon)
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_dp.offset_grad_accum),
+        8 * np.asarray(s_single.offset_grad_accum),
+        atol=1e-4, rtol=1e-3,
+    )
+    assert np.isclose(float(m_dp.loss.total), float(m_single.loss.total), rtol=1e-5)
+
+
+def test_dp_step_distinct_frames_trains():
+    frames = [_frame(jax.random.key(i))[0] for i in range(4)]
+    field = _field(jax.random.key(9), frames[0])
+    ocfg = OptConfig(start_stat=0)
+    mesh = make_mesh(data=4, tile=2)
+    dp_step = make_dp_trainer(mesh, MCFG, RCFG, ocfg, bg=jnp.zeros((2,)))
+    state = init_train_state(field, MCFG)
+    batch = stack_frames(frames)
+    losses = []
+    for _ in range(20):
+        state, m = dp_step(state, batch)
+        losses.append(float(m.loss.total))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_tile_sharded_render_matches_unsharded():
+    sc = make_scene(jax.random.key(5), n=150, H=H, W=W)
+    mesh = make_mesh(data=1, tile=8)
+    bg = jnp.zeros((2,), jnp.float32)
+
+    plain = jax.jit(
+        lambda: render_tiled(scene_splats(sc, RCFG), sc.beams, sc.W, bg, RCFG)
+    )()
+    with jax.set_mesh(mesh):
+        sharded = jax.jit(
+            lambda: render_tiled(
+                scene_splats(sc, RCFG), sc.beams, sc.W, bg, RCFG, tile_spec="tile"
+            )
+        )()
+    np.testing.assert_allclose(
+        np.asarray(sharded.color), np.asarray(plain.color), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.depth), np.asarray(plain.depth), atol=1e-4
+    )
