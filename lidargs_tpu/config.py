@@ -76,6 +76,10 @@ class ModelConfig:
     # re-materialises at the next power-of-two multiple of this step.
     anchor_capacity: int = 2 ** 17
     max_anchors: int = 1_200_000            # densify_until_num_points
+    # densification capacities (static): candidates compacted per level, and
+    # max anchors grown per level per call
+    grow_src_cap: int = 2 ** 16
+    grow_cap_per_level: int = 2 ** 13
 
 
 @dataclass(frozen=True)

@@ -175,6 +175,15 @@ class Trainer:
         fn = self._step if collect else self._step_nostats
         return fn(state, frame)
 
+    def densify(self, state: TrainState, key, voxel_size: float):
+        """adjust_anchor at the reference cadence (train.py:246-247)."""
+        from ..models.densify import densify_step
+
+        return densify_step(
+            state, key, self.mcfg, self.ocfg, float(voxel_size),
+            check_interval=self.ocfg.update_interval,
+        )
+
     def should_densify(self, state_n_anchors: int, iteration: int) -> bool:
         o = self.ocfg
         return (
