@@ -1,0 +1,259 @@
+"""Training CLI — the reference's train.py driver re-imagined.
+
+python -m lidargs_tpu.train.cli -s <data> --data_label waymo -m <out> \
+    --iterations 10000
+
+Differences from the reference loop (train.py:86-260), by design:
+  * one jitted step; the host never syncs except at log/eval boundaries
+    (a device sync per step costs ~2.4 s through remote-TPU tunnels);
+  * densify/prune is a jitted capacity-masked transform, not tensor
+    reallocation;
+  * checkpoints are npz pytrees (the reference's mid-run restore is broken
+    as released, gaussian_model.py:169-197).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import random
+import sys
+import time
+
+import numpy as np
+
+
+def get_logger(model_path: str) -> logging.Logger:
+    logger = logging.getLogger("lidargs_tpu")
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+    os.makedirs(model_path, exist_ok=True)
+    fh = logging.FileHandler(os.path.join(model_path, "outputs.log"))
+    fh.setFormatter(fmt)
+    sh = logging.StreamHandler(sys.stdout)
+    sh.setFormatter(fmt)
+    logger.addHandler(fh)
+    logger.addHandler(sh)
+    return logger
+
+
+def build_config(argv=None):
+    from ..config import (
+        DataConfig, ModelConfig, OptConfig, RasterConfig, TrainConfig, replace,
+    )
+
+    p = argparse.ArgumentParser("lidargs_tpu trainer")
+    p.add_argument("--source_path", "-s", required=True)
+    p.add_argument("--model_path", "-m", default="output/run")
+    p.add_argument("--data_label", default="waymo")
+    p.add_argument("--iterations", type=int, default=10_000)
+    p.add_argument("--num_frames", type=int, default=50)
+    p.add_argument("--voxel_size", type=float, default=0.0)
+    p.add_argument("--anchor_capacity", type=int, default=2**17)
+    p.add_argument("--max_visible", type=int, default=2**18)
+    p.add_argument("--tile_capacity", type=int, default=384)
+    p.add_argument("--raydrop_lambda", type=float, default=None)
+    p.add_argument("--test_iterations", type=int, nargs="*", default=None)
+    p.add_argument("--save_iterations", type=int, nargs="*", default=None)
+    p.add_argument("--checkpoint_iterations", type=int, nargs="*", default=[])
+    p.add_argument("--start_checkpoint", type=int, default=None)
+    p.add_argument("--eval_chamfer", action="store_true")
+    p.add_argument("--dump_renders", action="store_true",
+                   help="save per-frame renders as npy (raydrop refiner input)")
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--log_every", type=int, default=10)
+    args = p.parse_args(argv)
+
+    # kitti default raydrop weight is 1 (train.py:164)
+    rd_lambda = args.raydrop_lambda
+    if rd_lambda is None:
+        rd_lambda = 10.0 if args.data_label == "waymo" else 1.0
+    depth_min = 5.0 if args.data_label == "waymo" else 1.0
+
+    cfg = TrainConfig(
+        model=ModelConfig(voxel_size=args.voxel_size,
+                          anchor_capacity=args.anchor_capacity),
+        opt=replace(OptConfig(), iterations=args.iterations,
+                    raydrop_lambda=rd_lambda, depth_min=depth_min),
+        raster=replace(RasterConfig(), max_visible=args.max_visible,
+                       tile_capacity=args.tile_capacity),
+        data=DataConfig(source_path=args.source_path,
+                        data_label=args.data_label,
+                        num_frames=args.num_frames),
+        model_path=args.model_path,
+        seed=args.seed,
+        test_iterations=tuple(args.test_iterations
+                              if args.test_iterations is not None
+                              else range(2000, args.iterations + 1, 1000)),
+        save_iterations=tuple(args.save_iterations
+                              if args.save_iterations is not None
+                              else (args.iterations,)),
+        checkpoint_iterations=tuple(args.checkpoint_iterations),
+        log_every=args.log_every,
+    )
+    return cfg, args
+
+
+def run_eval(scene, state, trainer, cfg, logger, compute_chamfer=False):
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.field import render_field
+    from .metrics import evaluate_frame, mean_metrics
+
+    render = jax.jit(
+        lambda p, v, f: render_field(p, v, f, trainer.mcfg, trainer.rcfg, trainer.bg)[0]
+    )
+    results = {}
+    for name, frames in (("test", scene.data.test_frames),
+                         ("train", scene.data.train_frames)):
+        per = []
+        for fr in frames:
+            out = render(state.params, state.valid, fr)
+            per.append(
+                evaluate_frame(
+                    out.color, out.depth, fr.gt_image, fr.beams,
+                    depth_min=trainer.ocfg.depth_min,
+                    depth_max=trainer.ocfg.depth_max,
+                    compute_chamfer=compute_chamfer,
+                )
+            )
+        m = mean_metrics(per)
+        results[name] = m
+        logger.info(
+            f"[eval {name}] psnr={m['intensity_psnr']:.3f} "
+            f"ssim={m['intensity_ssim']:.4f} "
+            f"d_rmse={m['depth_rmse']:.4f} d_medae={m['depth_medae']:.4f}"
+            + (f" cd={m.get('depth_cd', 0):.5f} f={m.get('depth_fscore', 0):.4f}"
+               if compute_chamfer else "")
+        )
+    return results
+
+
+def measure_fps(scene, state, trainer, logger, warmup: int = 5):
+    """render_set-equivalent FPS (train.py:408-462): per-frame wall clock
+    with device sync, mean of 1/t excluding warmup frames."""
+    import jax
+
+    from ..models.field import render_field
+
+    render = jax.jit(
+        lambda p, v, f: render_field(p, v, f, trainer.mcfg, trainer.rcfg, trainer.bg)[0]
+    )
+    frames = scene.data.train_frames + scene.data.test_frames
+    ts = []
+    for i, fr in enumerate(frames):
+        t0 = time.perf_counter()
+        out = render(state.params, state.valid, fr)
+        jax.block_until_ready(out.color)
+        ts.append(time.perf_counter() - t0)
+    fps = float(np.mean([1.0 / t for t in ts[warmup:]]))
+    logger.info(f"[fps] {fps:.2f} frames/s over {len(ts) - warmup} frames")
+    return fps
+
+
+def main(argv=None):
+    cfg, args = build_config(argv)
+    logger = get_logger(cfg.model_path)
+    with open(os.path.join(cfg.model_path, "cfg_args.json"), "w") as f:
+        json.dump({k: str(v) for k, v in vars(args).items()}, f, indent=2)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.scene import Scene
+    from ..models.field import AnchorField
+    from .trainer import Trainer, init_train_state
+
+    scene = Scene.create(cfg)
+    logger.info(
+        f"scene: {len(scene.data.train_frames)} train / "
+        f"{len(scene.data.test_frames)} test frames, "
+        f"{int(scene.field.valid.sum())} anchors, voxel {scene.field.voxel_size:.4f}"
+    )
+
+    trainer = Trainer(mcfg=cfg.model, ocfg=cfg.opt, rcfg=cfg.raster,
+                      bg=jnp.zeros((cfg.model.color_channel,), jnp.float32))
+    state = init_train_state(scene.field, cfg.model)
+    first_iter = 0
+    if args.start_checkpoint is not None:
+        state = scene.load_train_state(args.start_checkpoint, like=state)
+        first_iter = args.start_checkpoint
+        logger.info(f"resumed from iteration {first_iter}")
+
+    rng = random.Random(cfg.seed)
+    frame_stack = None
+    ema = None
+    densify_key = jax.random.key(cfg.seed)
+    t_start = time.time()
+    for it in range(first_iter + 1, cfg.opt.iterations + 1):
+        if not frame_stack:
+            frame_stack = list(range(len(scene.data.train_frames)))
+        fidx = frame_stack.pop(rng.randint(0, len(frame_stack) - 1))
+        state, metrics = trainer.step(state, scene.data.train_frames[fidx], it)
+
+        if it % cfg.log_every == 0:
+            loss = float(metrics.loss.total)  # sync point
+            ema = loss if ema is None else 0.4 * loss + 0.6 * ema
+            logger.info(
+                f"iter {it}: loss={ema:.5f} anchors={int(metrics.n_anchors)} "
+                f"visible={int(metrics.n_visible)} "
+                f"overflow={int(metrics.n_overflow)} "
+                f"({(time.time() - t_start) / it * 1e3:.0f} ms/it avg)"
+            )
+        if trainer.should_densify(int(metrics.n_anchors), it):
+            densify_key, sub = jax.random.split(densify_key)
+            state, dstats = trainer.densify(state, sub, scene.field.voxel_size)
+            logger.info(
+                f"iter {it}: densify +{int(dstats.n_grown)} "
+                f"-{int(dstats.n_pruned)} anchors"
+            )
+        if it in cfg.test_iterations:
+            run_eval(scene, state, trainer, cfg, logger,
+                     compute_chamfer=args.eval_chamfer)
+        if it in cfg.save_iterations:
+            path = scene.save(state.params, state.valid, it)
+            logger.info(f"saved snapshot to {path}")
+        if it in cfg.checkpoint_iterations:
+            path = scene.save_train_state(state, it)
+            logger.info(f"saved training checkpoint to {path}")
+
+    run_eval(scene, state, trainer, cfg, logger, compute_chamfer=args.eval_chamfer)
+    measure_fps(scene, state, trainer, logger)
+    if args.dump_renders:
+        dump_renders(scene, state, trainer, cfg, logger)
+    return state
+
+
+def dump_renders(scene, state, trainer, cfg, logger):
+    """Per-frame [dir(3), intensity, depth, gt...] dumps — training input of
+    the offline raydrop refiner (scene/extre_train_raydrop.py:68-117)."""
+    import jax
+
+    from ..models.field import render_field
+
+    render = jax.jit(
+        lambda p, v, f: render_field(p, v, f, trainer.mcfg, trainer.rcfg, trainer.bg)[0]
+    )
+    out_dir = os.path.join(cfg.model_path, "renders")
+    os.makedirs(out_dir, exist_ok=True)
+    for name, frames in (("train", scene.data.train_frames),
+                         ("test", scene.data.test_frames)):
+        for i, fr in enumerate(frames):
+            out = render(state.params, state.valid, fr)
+            np.save(
+                os.path.join(out_dir, f"{name}_{i:03d}.npy"),
+                np.stack(
+                    [np.asarray(out.color[0]), np.asarray(out.color[1]),
+                     np.asarray(out.depth), np.asarray(fr.gt_image[0]),
+                     np.asarray(fr.gt_image[1]), np.asarray(fr.gt_image[2])],
+                    axis=0,
+                ).astype(np.float32),
+            )
+    logger.info(f"dumped renders to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""Data layer + CLI end-to-end tests on a synthetic AlignMiF-format dataset."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from lidargs_tpu.data.ply import (
+    read_anchor_model,
+    read_point_cloud,
+    write_anchor_model,
+    write_point_cloud,
+)
+from lidargs_tpu.data.waymo import WAYMO_TEST_IDX, read_lidar_scene
+from lidargs_tpu.lidar.beams import uniform_beam_inclinations
+from lidargs_tpu.lidar.pano import ray_dirs_from_beams
+
+H, W = 8, 128
+
+
+def _make_dataset(root, n_frames=50, data_label="waymo"):
+    """Synthetic AlignMiF layout: transforms_{train,test}.json + npy range
+    images [H,W,3] with channels (_, intensity, depth)."""
+    rng = np.random.default_rng(0)
+    beams = uniform_beam_inclinations(5.0, 20.0, H)
+    os.makedirs(os.path.join(root, "lidar"), exist_ok=True)
+
+    test_idx = set(WAYMO_TEST_IDX)
+    frames_train, frames_test = [], []
+    for i in range(n_frames):
+        depth = rng.uniform(5, 60, (H, W))
+        depth[rng.uniform(size=(H, W)) < 0.3] = 0.0
+        inten = rng.uniform(0, 1, (H, W)) * (depth > 0)
+        rv = np.stack([np.zeros((H, W)), inten, depth], -1).astype(np.float32)
+        fname = f"lidar/frame_{i:03d}.npy"
+        np.save(os.path.join(root, fname), rv)
+        l2w = np.eye(4)
+        l2w[:3, 3] = [i * 0.5, 0.0, 0.0]
+        meta = {
+            "file_path": fname,
+            "lidar_file_path": fname,
+            "lidar2world": l2w.tolist(),
+        }
+        (frames_test if i in test_idx else frames_train).append(meta)
+
+    base = {
+        "w_lidar": W, "h_lidar": H,
+        "fl_x": 1.0, "fl_y": 1.0, "cx": 0.5, "cy": 0.5, "w": W, "h": H,
+        "beam_inclinations": beams.tolist(),
+    }
+    with open(os.path.join(root, "transforms_train.json"), "w") as f:
+        json.dump({**base, "frames": frames_train}, f)
+    with open(os.path.join(root, "transforms_test.json"), "w") as f:
+        json.dump({**base, "frames": frames_test}, f)
+    return beams
+
+
+def test_ply_roundtrip(tmp_path):
+    pts = np.random.default_rng(0).uniform(-10, 10, (100, 3)).astype(np.float32)
+    p = str(tmp_path / "pc.ply")
+    write_point_cloud(p, pts)
+    back = read_point_cloud(p)
+    np.testing.assert_allclose(back, pts, rtol=1e-6)
+
+    n, k, F = 40, 3, 8
+    rng = np.random.default_rng(1)
+    args = (
+        rng.normal(size=(n, 3)).astype(np.float32),
+        rng.normal(size=(n, k, 3)).astype(np.float32),
+        rng.normal(size=(n, F)).astype(np.float32),
+        rng.normal(size=(n, 6)).astype(np.float32),
+        rng.normal(size=(n, 4)).astype(np.float32),
+        rng.normal(size=(n, 1)).astype(np.float32),
+    )
+    p2 = str(tmp_path / "anchors.ply")
+    write_anchor_model(p2, *args)
+    back = read_anchor_model(p2)
+    for a, b in zip(back, args):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_reader_split_and_gt_layout(tmp_path):
+    _make_dataset(str(tmp_path))
+    data = read_lidar_scene(str(tmp_path), "waymo", num_frames=50,
+                            init_samples=10_000)
+    assert len(data.test_frames) == 4
+    assert len(data.train_frames) == 46
+    assert data.H == H and data.W == W
+    # test frames carry the reference indices
+    uids = sorted(int(f.uid) for f in data.test_frames)
+    assert uids == sorted(WAYMO_TEST_IDX)
+    # GT layout: raydrop = (depth>0), intensity clipped
+    fr = data.train_frames[0]
+    gt = np.asarray(fr.gt_image)
+    assert set(np.unique(gt[0])) <= {0.0, 1.0}
+    assert gt[1].max() <= 1.0
+    np.testing.assert_array_equal(gt[0], (gt[2] > 0).astype(np.float32))
+    # init cloud in world frame: frame poses shift +x by 0.5*i
+    assert data.init_points.shape == (10_000, 3)
+    assert np.isfinite(data.init_points).all()
+
+
+def test_cli_end_to_end(tmp_path):
+    """Full CLI run on the synthetic dataset: train, densify, eval, save,
+    resume, dump renders."""
+    from lidargs_tpu.train import cli
+
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    _make_dataset(data_dir)
+    model_dir = str(tmp_path / "out")
+
+    argv = [
+        "-s", data_dir, "-m", model_dir,
+        "--iterations", "30",
+        "--voxel_size", "8.0",
+        "--anchor_capacity", "2048",
+        "--max_visible", "4096",
+        "--tile_capacity", "64",
+        "--test_iterations", "30",
+        "--save_iterations", "30",
+        "--checkpoint_iterations", "20",
+        "--log_every", "10",
+        "--dump_renders",
+    ]
+    state = cli.main(argv)
+    assert os.path.exists(os.path.join(model_dir, "outputs.log"))
+    assert os.path.exists(
+        os.path.join(model_dir, "point_cloud", "iteration_30", "point_cloud.ply")
+    )
+    assert os.path.exists(os.path.join(model_dir, "chkpnt20.npz"))
+    renders = os.listdir(os.path.join(model_dir, "renders"))
+    assert len(renders) == 50
+
+    # resume from the checkpoint and continue
+    argv_resume = argv[:argv.index("--checkpoint_iterations")] + [
+        "--start_checkpoint", "20", "--log_every", "10",
+    ]
+    state2 = cli.main(argv_resume)
+    assert int(state2.step) >= 30
+
+    # snapshot round-trips through Scene._load_field
+    from lidargs_tpu.config import (
+        DataConfig, ModelConfig, TrainConfig, replace,
+    )
+    from lidargs_tpu.data.scene import Scene
+
+    cfg = TrainConfig(
+        model=ModelConfig(voxel_size=8.0, anchor_capacity=2048),
+        data=DataConfig(source_path=data_dir, num_frames=50),
+        model_path=model_dir,
+    )
+    scene = Scene.create(cfg, load_iteration=30)
+    n = int(scene.field.valid.sum())
+    assert n > 0
+    got = np.asarray(scene.field.params["anchor"][:n])
+    want = np.asarray(state.params["anchor"])[np.asarray(state.valid)]
+    np.testing.assert_allclose(np.sort(got, axis=0), np.sort(want, axis=0),
+                               atol=1e-5)
