@@ -44,6 +44,12 @@ class RasterConfig:
     max_tiles_per_gaussian: int = 32        # per-gaussian tile rect cap
     tile_capacity: int = 512                # sorted instances composited / tile
     chunk: int = 16                         # instances per compositing scan step
+    # --- compositing backend ---
+    # "auto": pallas kernels on TPU (when the tiling matches the kernel's
+    # 1x128 lane layout), XLA scan elsewhere; "pallas" forces the kernels
+    # (interpret mode off-TPU — slow, for tests); "xla" forces the scan.
+    backend: str = "auto"
+    pallas_chunk: int = 32                  # instances per kernel loop step
 
     def grid_shape(self, H: int, W: int) -> Tuple[int, int]:
         return (-(-H // self.tile_h), -(-W // self.tile_w))

@@ -179,6 +179,60 @@ def composite_depth_ordered(
     return CompositeOut(color=color, depth=depth, final_T=T)
 
 
+def composite_packed(
+    inst: jnp.ndarray,           # [L, K, F] pre-gathered packed instances (PackedCols)
+    inst_valid: jnp.ndarray,     # [L, K] front-packed validity
+    pix_dir: jnp.ndarray,        # [L, n_pix, 3]
+    pix_x: jnp.ndarray,          # [L, n_pix]
+    pix_y: jnp.ndarray,          # [L, n_pix]
+    C: int,
+    cfg: RasterConfig,
+) -> CompositeOut:
+    """Same semantics as composite_depth_ordered, but on instances that were
+    already gathered into one dense [L, K, F] tensor (gather-free scan — one
+    wide row-gather upstream replaces ~10 narrow gathers per chunk)."""
+    from .projection import PackedCols as PC
+
+    L, K_total, F = inst.shape
+    n_pix = pix_x.shape[1]
+    K = min(cfg.chunk, K_total)
+    n_chunks = -(-K_total // K)
+    pad = n_chunks * K - K_total
+    if pad:
+        inst = jnp.pad(inst, ((0, 0), (0, pad), (0, 0)))
+        inst_valid = jnp.pad(inst_valid, ((0, 0), (0, pad)))
+    inst_c = inst.reshape(L, n_chunks, K, F).transpose(1, 0, 2, 3)
+    valid_c = inst_valid.reshape(L, n_chunks, K).transpose(1, 0, 2)
+
+    init = (
+        jnp.ones((L, n_pix), jnp.float32),
+        jnp.zeros((L, n_pix), jnp.bool_),
+        jnp.zeros((L, C, n_pix), jnp.float32),
+        jnp.zeros((L, n_pix), jnp.float32),
+    )
+
+    @jax.checkpoint
+    def step(carry, ch_v):
+        ch_i, valid = ch_v
+        ch = _Gathered(
+            sphere_mean=ch_i[..., PC.MEAN],
+            u1=ch_i[..., PC.U1],
+            u2=ch_i[..., PC.U2],
+            conic=ch_i[..., PC.CONIC],
+            opacity=ch_i[..., PC.OPACITY],
+            depth=ch_i[..., PC.DEPTH],
+            feat=ch_i[..., PC.FEAT0:PC.FEAT0 + C],
+            pix_rect=ch_i[..., PC.rect(C)].astype(jnp.int32),
+            valid=valid & (ch_i[..., PC.validf(C)] > 0.0),
+        )
+        alpha, pass_ = instance_alpha(ch, pix_dir, pix_x, pix_y, cfg)
+        carry = composite_chunk(carry, (alpha, pass_, ch.feat, ch.depth), cfg)
+        return carry, None
+
+    (T, _done, color, depth), _ = jax.lax.scan(step, init, (inst_c, valid_c))
+    return CompositeOut(color=color, depth=depth, final_T=T)
+
+
 def pixel_rays(rows: jnp.ndarray, cols: jnp.ndarray, beams: jnp.ndarray, W: int):
     """Unit ray dirs for integer pixel coords (forward.cu:589-591):
     alpha = beams[H-1-row], beta = -(col - W/2)/W * 2*pi."""

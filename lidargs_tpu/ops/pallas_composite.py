@@ -1,0 +1,363 @@
+"""Pallas TPU compositing kernels — the production hot loop.
+
+TPU-native equivalent of the reference's per-pixel CUDA walk
+(`renderCUDA`, forward.cu:502-641) and its backward re-walk
+(backward.cu:537-791). One grid step per 1x128 range-view tile:
+
+  * instances live on SUBLANES (chunks of `cfg.pallas_chunk`), the tile's
+    128 pixels on LANES — every op is a dense [CH, 128] VPU op;
+  * the serial front-to-back walk becomes an exclusive prefix-product of
+    (1 - alpha) over sublanes (Hillis-Steele, log2(CH) shifted multiplies),
+    which agrees with the true transmittance up to and including the first
+    T*(1-alpha) < T_min crossing (see composite.py for the argument);
+  * a `lax.while_loop` over chunks gives the two things an XLA scan cannot
+    express: a *per-tile* trip count (ceil(count/CH)) and early exit once
+    every pixel's transmittance has crossed — the analogue of the CUDA
+    kernel's per-thread `done` vote (forward.cu:556,605-613);
+  * the backward pass is deterministic: per-instance gradients are dense
+    [CH, 128] -> lane-reductions instead of the reference's float atomicAdd
+    races (backward.cu:702-788).
+
+The backward kernel replays the forward walk (recording per-chunk entry
+transmittance in VMEM scratch — the analogue of the saved final_T /
+n_contrib of the CUDA backward) and then computes analytic gradients wrt
+every packed instance field using suffix sums
+`after_i = total - inclusive_prefix_i` of the applied weights.
+
+Gradients flow to the per-gaussian parameters through the (differentiable)
+XLA row-gathers that built the [T, K, F] instance tensor — the transpose of
+a gather is a deterministic scatter-add, replacing atomicAdd.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RasterConfig
+from .projection import PackedCols as PC
+
+LANES = 128          # pixels per tile = lane width
+OUT_ROWS = 8         # output block sublanes: C color rows, depth, final_T
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _cummul(x: jnp.ndarray, ch: int) -> jnp.ndarray:
+    """Inclusive prefix product along sublanes (Hillis-Steele)."""
+    sh = 1
+    while sh < ch:
+        pad = jnp.ones((sh, LANES), jnp.float32)
+        x = x * jnp.concatenate([pad, x[: ch - sh]], axis=0)
+        sh *= 2
+    return x
+
+
+def _cumsum(x: jnp.ndarray, ch: int) -> jnp.ndarray:
+    sh = 1
+    while sh < ch:
+        pad = jnp.zeros((sh, LANES), jnp.float32)
+        x = x + jnp.concatenate([pad, x[: ch - sh]], axis=0)
+        sh *= 2
+    return x
+
+
+def _cummax(x: jnp.ndarray, ch: int) -> jnp.ndarray:
+    sh = 1
+    while sh < ch:
+        pad = jnp.zeros((sh, LANES), jnp.float32)
+        x = jnp.maximum(x, jnp.concatenate([pad, x[: ch - sh]], axis=0))
+        sh *= 2
+    return x
+
+
+def _chunk_fields(s: jnp.ndarray, C: int):
+    """Split a [CH, F] packed chunk into per-field [CH, 1] columns."""
+    col = lambda i: s[:, i : i + 1]
+    rect = PC.rect(C)
+    return dict(
+        mx=col(0), my=col(1), mz=col(2),
+        u1x=col(3), u1y=col(4), u1z=col(5),
+        u2x=col(6), u2y=col(7), u2z=col(8),
+        ca=col(9), cb=col(10), cc=col(11),
+        op=col(PC.OPACITY), dep=col(PC.DEPTH),
+        feat=[col(PC.FEAT0 + c) for c in range(C)],
+        x0=col(rect.start), x1=col(rect.start + 1),
+        y0=col(rect.start + 2), y1=col(rect.start + 3),
+    )
+
+
+def _alpha_pass(f, pix, count, base_row, ch, cfg: RasterConfig):
+    """Shared forward math for one [CH, LANES] chunk: alpha + pass mask.
+    Mirrors instance_alpha (composite.py) / forward.cu:584-607."""
+    dirx, diry, dirz, px, py = pix
+    u1sq = jnp.maximum(f["u1x"] * f["u1x"] + f["u1y"] * f["u1y"] + f["u1z"] * f["u1z"], 1e-20)
+    u2sq = jnp.maximum(f["u2x"] * f["u2x"] + f["u2y"] * f["u2y"] + f["u2z"] * f["u2z"], 1e-20)
+    dxv = f["mx"] - dirx
+    dyv = f["my"] - diry
+    dzv = f["mz"] - dirz
+    ddx = (dxv * f["u1x"] + dyv * f["u1y"] + dzv * f["u1z"]) / u1sq
+    ddy = (dxv * f["u2x"] + dyv * f["u2y"] + dzv * f["u2z"]) / u2sq
+    power = (
+        -0.5 * (f["ca"] * ddx * ddx + f["cc"] * ddy * ddy) - f["cb"] * ddx * ddy
+    )
+    e = jnp.exp(power)
+    araw = f["op"] * e
+    alpha = jnp.minimum(araw, cfg.alpha_clamp)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (ch, LANES), 0) + base_row
+    passed = (
+        (rowi < count)
+        & (px >= f["x0"]) & (px < f["x1"]) & (py >= f["y0"]) & (py < f["y1"])
+        & (power <= 0.0)
+        & (alpha >= cfg.alpha_min)
+    )
+    geom = dict(u1sq=u1sq, u2sq=u2sq, dxv=dxv, dyv=dyv, dzv=dzv,
+                ddx=ddx, ddy=ddy, power=power, e=e, araw=araw)
+    return alpha, passed, geom
+
+
+def _chunk_weights(alpha, passed, T, done, cfg: RasterConfig, ch: int):
+    """Prefix-product weights + crossing bookkeeping for one chunk. The
+    prefix uses PASSED instances (exactly like composite_chunk): it agrees
+    with the true transmittance up to and including the first crossing, and
+    everything at/after the crossing gets w=0."""
+    a_eff = jnp.where(passed, alpha, 0.0)
+    one_m = 1.0 - a_eff
+    incl = _cummul(one_m, ch)
+    excl = jnp.concatenate([jnp.ones((1, LANES), jnp.float32), incl[: ch - 1]], axis=0)
+    P = T * excl
+    crossing = passed & (P * (1.0 - alpha) < cfg.transmittance_min)
+    crossf = jnp.where(crossing, 1.0, 0.0)
+    dead = _cummax(crossf, ch) > 0.0
+    applied = passed & ~dead & (done < 0.5)
+    w = jnp.where(applied, alpha * P, 0.0)
+    # prod over applied(1-alpha): Mosaic has no reduce_prod — reuse the scan
+    one_m_app = jnp.where(applied, 1.0 - alpha, 1.0)
+    T_new = T * _cummul(one_m_app, ch)[ch - 1 : ch]
+    done_new = jnp.maximum(done, jnp.max(crossf, axis=0, keepdims=True))
+    done_new = jnp.maximum(
+        done_new, jnp.where(T_new < cfg.transmittance_min, 1.0, 0.0)
+    )
+    return w, applied, P, T_new, done_new
+
+
+def _fwd_kernel(counts_ref, inst_ref, pix_ref, out_ref, *, C, CH, cfg):
+    count = counts_ref[pl.program_id(0)]
+    pixb = pix_ref[0]
+    pix = (pixb[0:1], pixb[1:2], pixb[2:3], pixb[3:4], pixb[4:5])
+    nch = pl.cdiv(count, CH)
+
+    def cond(st):
+        i, T, done, cacc, dacc = st
+        return (i < nch) & (jnp.min(done) < 0.5)
+
+    def body(st):
+        i, T, done, cacc, dacc = st
+        s = inst_ref[0, pl.ds(i * CH, CH), :]
+        f = _chunk_fields(s, C)
+        alpha, passed, _ = _alpha_pass(f, pix, count, i * CH, CH, cfg)
+        w, applied, _P, T, done = _chunk_weights(alpha, passed, T, done, cfg, CH)
+        cacc = cacc + jnp.concatenate(
+            [jnp.sum(w * f["feat"][c], axis=0, keepdims=True) for c in range(C)], axis=0
+        )
+        dacc = dacc + jnp.sum(w * f["dep"], axis=0, keepdims=True)
+        return (i + 1, T, done, cacc, dacc)
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        jnp.ones((1, LANES), jnp.float32),
+        jnp.zeros((1, LANES), jnp.float32),
+        jnp.zeros((C, LANES), jnp.float32),
+        jnp.zeros((1, LANES), jnp.float32),
+    )
+    _, T, _done, cacc, dacc = jax.lax.while_loop(cond, body, init)
+    out_ref[0] = jnp.concatenate(
+        [cacc, dacc, T, jnp.zeros((OUT_ROWS - C - 2, LANES), jnp.float32)], axis=0
+    )
+
+
+def _bwd_kernel(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
+                tin_ref, din_ref, *, C, CH, K, F, cfg):
+    count = counts_ref[pl.program_id(0)]
+    pixb = pix_ref[0]
+    pix = (pixb[0:1], pixb[1:2], pixb[2:3], pixb[3:4], pixb[4:5])
+    res = res_ref[0]
+    totc = res[0:C]                      # final color (sum of all applied w*c)
+    totd = res[C : C + 1]
+    Tfin = res[C + 1 : C + 2]
+    g = g_ref[0]
+    gc = g[0:C]
+    gd = g[C : C + 1]
+    gT = g[C + 1 : C + 2]
+    nch = pl.cdiv(count, CH)
+
+    dinst_ref[0] = jnp.zeros((K, F), jnp.float32)
+
+    # ---- pass 1: replay, record per-chunk entry transmittance/done ----
+    def cond1(st):
+        i, T, done = st
+        return (i < nch) & (jnp.min(done) < 0.5)
+
+    def body1(st):
+        i, T, done = st
+        tin_ref[pl.ds(i, 1), :] = T
+        din_ref[pl.ds(i, 1), :] = done
+        s = inst_ref[0, pl.ds(i * CH, CH), :]
+        f = _chunk_fields(s, C)
+        alpha, passed, _ = _alpha_pass(f, pix, count, i * CH, CH, cfg)
+        _, _, _, T, done = _chunk_weights(alpha, passed, T, done, cfg, CH)
+        return (i + 1, T, done)
+
+    init1 = (
+        jnp.zeros((), jnp.int32),
+        jnp.ones((1, LANES), jnp.float32),
+        jnp.zeros((1, LANES), jnp.float32),
+    )
+    nvis, _, _ = jax.lax.while_loop(cond1, body1, init1)
+
+    # ---- pass 2: analytic gradients with running prefix accumulators ----
+    def body2(i, st):
+        Ac, Ad = st                       # [C, LANES], [1, LANES] applied prefix sums
+        T = tin_ref[pl.ds(i, 1), :]
+        done = din_ref[pl.ds(i, 1), :]
+        s = inst_ref[0, pl.ds(i * CH, CH), :]
+        f = _chunk_fields(s, C)
+        alpha, passed, gm = _alpha_pass(f, pix, count, i * CH, CH, cfg)
+        w, applied, P, _, _ = _chunk_weights(alpha, passed, T, done, cfg, CH)
+
+        wc = [w * f["feat"][c] for c in range(C)]
+        wd = w * f["dep"]
+        # suffix sums over the WHOLE applied list: total - (prefix-before + incl-in-chunk)
+        after_c = [totc[c : c + 1] - Ac[c : c + 1] - _cumsum(wc[c], CH) for c in range(C)]
+        after_d = totd - Ad - _cumsum(wd, CH)
+
+        direct = sum(gc[c : c + 1] * f["feat"][c] for c in range(C)) + gd * f["dep"]
+        behind = sum(gc[c : c + 1] * after_c[c] for c in range(C)) + gd * after_d
+        inv1m = 1.0 / (1.0 - alpha)
+        dalpha = P * direct - inv1m * (behind + gT * Tfin)
+        live = applied & (gm["araw"] <= cfg.alpha_clamp)
+        Z = jnp.zeros((CH, LANES), jnp.float32)
+        dalpha = jnp.where(live, dalpha, Z)
+        dpower = jnp.where(live, dalpha * gm["araw"], Z)
+        dop = jnp.sum(jnp.where(live, dalpha * gm["e"], Z), axis=1, keepdims=True)
+
+        ddx, ddy = gm["ddx"], gm["ddy"]
+        d_ca = jnp.sum(jnp.where(live, -0.5 * ddx * ddx * dpower, Z), 1, keepdims=True)
+        d_cb = jnp.sum(jnp.where(live, -ddx * ddy * dpower, Z), 1, keepdims=True)
+        d_cc = jnp.sum(jnp.where(live, -0.5 * ddy * ddy * dpower, Z), 1, keepdims=True)
+        d_ddx = jnp.where(live, -dpower * (f["ca"] * ddx + f["cb"] * ddy), Z)
+        d_ddy = jnp.where(live, -dpower * (f["cc"] * ddy + f["cb"] * ddx), Z)
+
+        d_n1 = d_ddx / gm["u1sq"]
+        d_n2 = d_ddy / gm["u2sq"]
+        d_mx = jnp.sum(d_n1 * f["u1x"] + d_n2 * f["u2x"], 1, keepdims=True)
+        d_my = jnp.sum(d_n1 * f["u1y"] + d_n2 * f["u2y"], 1, keepdims=True)
+        d_mz = jnp.sum(d_n1 * f["u1z"] + d_n2 * f["u2z"], 1, keepdims=True)
+        d_u1sq = -jnp.sum(jnp.where(live, d_ddx * ddx, Z), 1, keepdims=True) / gm["u1sq"]
+        d_u2sq = -jnp.sum(jnp.where(live, d_ddy * ddy, Z), 1, keepdims=True) / gm["u2sq"]
+        u1sq_raw = f["u1x"] ** 2 + f["u1y"] ** 2 + f["u1z"] ** 2
+        u2sq_raw = f["u2x"] ** 2 + f["u2y"] ** 2 + f["u2z"] ** 2
+        d_u1sq = jnp.where(u1sq_raw > 1e-20, d_u1sq, 0.0)
+        d_u2sq = jnp.where(u2sq_raw > 1e-20, d_u2sq, 0.0)
+        d_u1x = jnp.sum(d_n1 * gm["dxv"], 1, keepdims=True) + 2.0 * f["u1x"] * d_u1sq
+        d_u1y = jnp.sum(d_n1 * gm["dyv"], 1, keepdims=True) + 2.0 * f["u1y"] * d_u1sq
+        d_u1z = jnp.sum(d_n1 * gm["dzv"], 1, keepdims=True) + 2.0 * f["u1z"] * d_u1sq
+        d_u2x = jnp.sum(d_n2 * gm["dxv"], 1, keepdims=True) + 2.0 * f["u2x"] * d_u2sq
+        d_u2y = jnp.sum(d_n2 * gm["dyv"], 1, keepdims=True) + 2.0 * f["u2y"] * d_u2sq
+        d_u2z = jnp.sum(d_n2 * gm["dzv"], 1, keepdims=True) + 2.0 * f["u2z"] * d_u2sq
+
+        d_feat = [jnp.sum(w * gc[c : c + 1], 1, keepdims=True) for c in range(C)]
+        d_dep = jnp.sum(w * gd, 1, keepdims=True)
+
+        pad = jnp.zeros((CH, F - PC.FEAT0 - C), jnp.float32)
+        d_s = jnp.concatenate(
+            [d_mx, d_my, d_mz, d_u1x, d_u1y, d_u1z, d_u2x, d_u2y, d_u2z,
+             d_ca, d_cb, d_cc, dop, d_dep] + d_feat + [pad],
+            axis=1,
+        )
+        dinst_ref[0, pl.ds(i * CH, CH), :] = d_s
+
+        Ac = Ac + jnp.concatenate(
+            [jnp.sum(wc[c], axis=0, keepdims=True) for c in range(C)], axis=0
+        )
+        Ad = Ad + jnp.sum(wd, axis=0, keepdims=True)
+        return (Ac, Ad)
+
+    init2 = (jnp.zeros((C, LANES), jnp.float32), jnp.zeros((1, LANES), jnp.float32))
+    jax.lax.fori_loop(0, nvis, body2, init2)
+
+
+def _fwd_call(inst, counts, pix, C: int, cfg: RasterConfig):
+    T, K, F = inst.shape
+    CH = cfg.pallas_chunk
+    assert K % CH == 0, f"tile_capacity {K} must be a multiple of pallas_chunk {CH}"
+    assert C + 2 <= OUT_ROWS
+    kernel = functools.partial(_fwd_kernel, C=C, CH=CH, cfg=cfg)
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, F), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, OUT_ROWS, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, OUT_ROWS, LANES), jnp.float32),
+        interpret=_interpret(),
+    )(counts, inst, pix)
+
+
+def _bwd_call(inst, counts, pix, res, g, C: int, cfg: RasterConfig):
+    T, K, F = inst.shape
+    CH = cfg.pallas_chunk
+    kernel = functools.partial(_bwd_kernel, C=C, CH=CH, K=K, F=F, cfg=cfg)
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, F), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, K, F), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, K, F), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((K // CH, LANES), jnp.float32),
+            pltpu.VMEM((K // CH, LANES), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(counts, inst, pix, res, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def composite_tiles_pallas(inst, counts, pix, C: int, cfg: RasterConfig):
+    """[T, K, F] packed depth-ordered instances + [T] counts + [T, 8, 128]
+    pixel blocks -> [T, 8, 128]: rows 0..C-1 color, row C depth, row C+1
+    final transmittance."""
+    return _fwd_call(inst, counts, pix, C, cfg)
+
+
+def _vjp_fwd(inst, counts, pix, C: int, cfg: RasterConfig):
+    out = _fwd_call(inst, counts, pix, C, cfg)
+    return out, (inst, counts, pix, out)
+
+
+def _vjp_bwd(C, cfg, residuals, g):
+    inst, counts, pix, out = residuals
+    dinst = _bwd_call(inst, counts, pix, out, g, C, cfg)
+    zero_counts = np.zeros(counts.shape, dtype=jax.dtypes.float0)
+    return (dinst, zero_counts, jnp.zeros_like(pix))
+
+
+composite_tiles_pallas.defvjp(_vjp_fwd, _vjp_bwd)

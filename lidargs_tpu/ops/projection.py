@@ -208,6 +208,62 @@ def preprocess_gaussians(
     )
 
 
+class PackedCols:
+    """Column layout of the packed per-gaussian render state [P, F].
+
+    One wide row per gaussian so that binning/compositing gathers touch a
+    single contiguous 4*F-byte row instead of ~10 narrow arrays (narrow-row
+    gathers are ~5x slower on TPU). rect/center/valid ride along as floats
+    (pixel coords < 2^24 are exact in f32)."""
+
+    MEAN = slice(0, 3)        # sphere_mean (unit view dir)
+    U1 = slice(3, 6)          # cross-section basis 1 (unnormalized)
+    U2 = slice(6, 9)
+    CONIC = slice(9, 12)      # (a, b, c)
+    OPACITY = 12
+    DEPTH = 13
+    FEAT0 = 14                # feat columns [FEAT0, FEAT0+C)
+
+    @staticmethod
+    def rect(C: int) -> slice:       # parity rect x0,x1,y0,y1
+        return slice(14 + C, 18 + C)
+
+    @staticmethod
+    def center(C: int) -> slice:     # float image coords (p_c, p_r)
+        return slice(18 + C, 20 + C)
+
+    @staticmethod
+    def validf(C: int) -> int:
+        return 20 + C
+
+    @staticmethod
+    def width(C: int) -> int:        # padded to a multiple of 8 sublanes
+        return -(-(21 + C) // 8) * 8
+
+
+def pack_splats(sp: Splats) -> jnp.ndarray:
+    """Splats -> packed [P, F] f32 (PackedCols layout). Differentiable; the
+    int fields are converted, not rounded (they are already integral)."""
+    C = sp.feat.shape[-1]
+    cols = [
+        sp.sphere_mean,
+        sp.u1,
+        sp.u2,
+        sp.conic,
+        sp.opacity[:, None],
+        sp.depth[:, None],
+        sp.feat,
+        sp.pix_rect.astype(jnp.float32),
+        sp.center,
+        sp.valid.astype(jnp.float32)[:, None],
+    ]
+    pk = jnp.concatenate(cols, axis=1)
+    pad = PackedCols.width(C) - pk.shape[1]
+    if pad:
+        pk = jnp.pad(pk, ((0, 0), (0, pad)))
+    return pk
+
+
 def visible_filter(
     anchors: jnp.ndarray,
     scales: jnp.ndarray,

@@ -29,8 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import RasterConfig
-from .composite import composite_depth_ordered, pixel_rays
-from .projection import Splats
+from .composite import composite_packed, pixel_rays
+from .projection import PackedCols, Splats, pack_splats
 
 
 class RenderOut(NamedTuple):
@@ -43,11 +43,12 @@ class RenderOut(NamedTuple):
     n_overflow: jnp.ndarray  # [] instances beyond tile_capacity
 
 
-def _tile_rects(sp: Splats, cfg: RasterConfig, gx: int, gy: int):
+def _tile_rects(rect, center, valid, cfg: RasterConfig, gx: int, gy: int):
     """Per-gaussian touched-tile window in our physical tiling, clipped to
-    max_tiles_per_gaussian around the center tile."""
+    max_tiles_per_gaussian around the center tile.
+
+    rect: [P, 4] int32 parity rect (x0, x1, y0, y1); center: [P, 2] float."""
     tw, th = cfg.tile_w, cfg.tile_h
-    rect = sp.pix_rect
     tx0 = rect[:, 0] // tw
     tx1 = -(-rect[:, 1] // tw)
     ty0 = rect[:, 2] // th
@@ -58,49 +59,57 @@ def _tile_rects(sp: Splats, cfg: RasterConfig, gx: int, gy: int):
     cap = cfg.max_tiles_per_gaussian
     wc = jnp.clip(w, 1, cap)
     hc = jnp.clip(h, 1, jnp.maximum(cap // jnp.maximum(wc, 1), 1))
-    cx = jnp.clip((sp.center[:, 0] / tw).astype(jnp.int32), tx0, jnp.maximum(tx1 - 1, tx0))
-    cy = jnp.clip((sp.center[:, 1] / th).astype(jnp.int32), ty0, jnp.maximum(ty1 - 1, ty0))
+    cx = jnp.clip((center[:, 0] / tw).astype(jnp.int32), tx0, jnp.maximum(tx1 - 1, tx0))
+    cy = jnp.clip((center[:, 1] / th).astype(jnp.int32), ty0, jnp.maximum(ty1 - 1, ty0))
     x0 = jnp.clip(cx - wc // 2, tx0, jnp.maximum(tx1 - wc, tx0))
     y0 = jnp.clip(cy - hc // 2, ty0, jnp.maximum(ty1 - hc, ty0))
     clipped = (w * h > cap).astype(jnp.int32)
     return x0, y0, wc, hc, clipped
 
 
-def bin_instances(sp: Splats, cfg: RasterConfig, gx: int, gy: int):
-    """Expand gaussians to (tile, depth, id) instances, sort, slice per-tile
-    lists. Returns ([T, K] gaussian ids, [T, K] validity, overflow count)."""
-    V = sp.valid.shape[0]
+def bin_instances(rect, center, valid, cfg: RasterConfig, gx: int, gy: int):
+    """Expand gaussians to (tile, id) instances, sort, slice per-tile lists.
+    Returns ([T, K] gaussian ids, [T] counts, overflow count).
+
+    PRECONDITION: the input is already depth-ordered (see render_tiled's
+    cull/compact sort), so the gaussian index IS the depth rank. That lets
+    the CUB radix sort on packed ``tileID<<32 | float_bits(depth)`` 64-bit
+    keys (rasterizer_impl.cu:70-112,317-322) collapse to ONE `lax.sort`
+    over a single fused int32 key ``tile << ceil_log2(V) | gid`` — the
+    payload rides inside the key, and since every (gaussian, tile) pair is
+    unique the keys are distinct and stability is irrelevant."""
+    V = valid.shape[0]
     T = gx * gy
     cap = cfg.max_tiles_per_gaussian
-    x0, y0, wc, hc, _clipped = _tile_rects(sp, cfg, gx, gy)
+    x0, y0, wc, hc, _clipped = _tile_rects(rect, center, valid, cfg, gx, gy)
 
     j = jnp.arange(cap, dtype=jnp.int32)[None, :]
     jx = j % wc[:, None]
     jy = j // wc[:, None]
-    inst_ok = (jy < hc[:, None]) & sp.valid[:, None]
+    inst_ok = (jy < hc[:, None]) & valid[:, None]
     tile = (y0[:, None] + jy) * gx + (x0[:, None] + jx)
     tile = jnp.where(inst_ok, tile, T).astype(jnp.int32)          # sentinel last
 
-    depth = jnp.broadcast_to(sp.depth[:, None], (V, cap))
-    gid = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32)[:, None], (V, cap))
+    shift = max(int(V - 1).bit_length(), 1)
+    if shift + int(T).bit_length() > 31:
+        raise ValueError(
+            f"fused binning key overflows int32: V={V} tiles={T}; "
+            "reduce max_visible or enlarge tiles"
+        )
+    gid = jnp.arange(V, dtype=jnp.int32)[:, None]
+    key = (tile << shift) | gid                                   # [V, cap]
 
-    # stable (tile, depth) sort == CUB radix on tile<<32|depth_bits with
-    # instances emitted in gaussian order (rasterizer_impl.cu:70-112,317-322)
-    s_tile, _s_depth, s_gid = jax.lax.sort(
-        (tile.reshape(-1), depth.reshape(-1), gid.reshape(-1)),
-        num_keys=2,
-        is_stable=True,
-    )
+    (s_key,) = jax.lax.sort((key.reshape(-1),), num_keys=1, is_stable=False)
 
-    starts = jnp.searchsorted(s_tile, jnp.arange(T + 1, dtype=jnp.int32))
+    bounds = (jnp.arange(T + 1, dtype=jnp.int32) << shift)
+    starts = jnp.searchsorted(s_key, bounds)
     counts = starts[1:] - starts[:-1]
     K = cfg.tile_capacity
     idx = starts[:-1, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
-    valid = jnp.arange(K, dtype=jnp.int32)[None, :] < jnp.minimum(counts, K)[:, None]
     idx = jnp.clip(idx, 0, V * cap - 1)
-    ids = jnp.take(s_gid, idx)
+    ids = jnp.take(s_key, idx, mode="clip") & ((1 << shift) - 1)
     n_overflow = jnp.sum(jnp.maximum(counts - K, 0))
-    return ids, valid, n_overflow
+    return ids, jnp.minimum(counts, K), n_overflow
 
 
 def _tile_pixels(H: int, W: int, cfg: RasterConfig, gx: int, gy: int, beams):
@@ -114,6 +123,32 @@ def _tile_pixels(H: int, W: int, cfg: RasterConfig, gx: int, gy: int, beams):
     safe_rows = jnp.minimum(pix_y, H - 1)
     dirs = pixel_rays(safe_rows, pix_x % W, beams, W)
     return pix_x, pix_y, dirs
+
+
+def _pix_blocks(pix_x, pix_y, dirs):
+    """[T, 8, 128] pixel blocks for the pallas kernel: rows 0-2 unit ray
+    dir xyz, row 3 pixel column, row 4 pixel row (as f32), rows 5-7 zero."""
+    T, npix = pix_x.shape
+    rows = [
+        dirs[..., 0], dirs[..., 1], dirs[..., 2],
+        pix_x.astype(jnp.float32), pix_y.astype(jnp.float32),
+    ]
+    blk = jnp.stack(rows, axis=1)                             # [T, 5, npix]
+    return jnp.pad(blk, ((0, 0), (0, 3), (0, 0)))
+
+
+def _use_pallas(cfg: RasterConfig, C: int) -> bool:
+    if cfg.backend == "pallas":
+        return True
+    if cfg.backend == "xla":
+        return False
+    return (
+        jax.default_backend() == "tpu"
+        and cfg.tile_h == 1
+        and cfg.tile_w == 128
+        and C + 2 <= 8
+        and cfg.tile_capacity % cfg.pallas_chunk == 0
+    )
 
 
 def render_tiled(
@@ -132,38 +167,66 @@ def render_tiled(
     H = beams.shape[0]
     P = splats.valid.shape[0]
     gy, gx = cfg.grid_shape(H, W)
+    Tn = gy * gx
     C = splats.feat.shape[-1]
+    F = PackedCols.width(C)
 
-    # --- cull + compact to static capacity ---
+    # --- cull + compact + depth-presort in ONE sort ---
+    # splats.depth carries a finite 4*far sentinel on invalid rows
+    # (projection.py), so sorting by depth alone front-packs the valid
+    # gaussians in depth order; truncation to max_visible then drops the
+    # *farthest* (most-occluded) gaussians first.
     V = min(cfg.max_visible, P)
-    order = jnp.argsort((~splats.valid).astype(jnp.int8), stable=True)
-    sel = order[:V]
-    sp = jax.tree.map(lambda x: jnp.take(x, sel, axis=0), splats)
+    pk = pack_splats(splats)                                    # [P, F]
+    _, sel = jax.lax.sort(
+        (splats.depth, jnp.arange(P, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    pkv = jnp.take(pk, sel[:V], axis=0, mode="clip")            # [V, F] wide rows
+    vvalid = pkv[:, PackedCols.validf(C)] > 0.0
     n_valid_total = jnp.sum(splats.valid)
-    n_dropped = n_valid_total - jnp.sum(sp.valid)
+    n_dropped = n_valid_total - jnp.sum(vvalid)
 
-    ids, inst_valid, n_overflow = bin_instances(sp, cfg, gx, gy)
+    rect = pkv[:, PackedCols.rect(C)].astype(jnp.int32)
+    center = pkv[:, PackedCols.center(C)]
+    ids, counts, n_overflow = bin_instances(rect, center, vvalid, cfg, gx, gy)
+    K = cfg.tile_capacity
+
+    # one wide row-gather materialises the per-tile instance lists; its
+    # transpose (backward) is a deterministic scatter-add — the TPU analogue
+    # of the reference backward's atomicAdd accumulation (backward.cu:702-788)
+    inst = jnp.take(pkv, ids.reshape(-1), axis=0, mode="clip").reshape(Tn, K, F)
     pix_x, pix_y, dirs = _tile_pixels(H, W, cfg, gx, gy, beams)
+
     if tile_spec is not None:
         from jax.sharding import PartitionSpec as _P
 
         wsc = jax.lax.with_sharding_constraint
-        spec2 = _P(tile_spec, None)
-        ids = wsc(ids, spec2)
-        inst_valid = wsc(inst_valid, spec2)
-        pix_x = wsc(pix_x, spec2)
-        pix_y = wsc(pix_y, spec2)
+        inst = wsc(inst, _P(tile_spec, None, None))
+        counts = wsc(counts, _P(tile_spec))
+        pix_x = wsc(pix_x, _P(tile_spec, None))
+        pix_y = wsc(pix_y, _P(tile_spec, None))
         dirs = wsc(dirs, _P(tile_spec, None, None))
 
-    out = composite_depth_ordered(sp, ids, inst_valid, dirs, pix_x, pix_y, cfg)
+    if _use_pallas(cfg, C):
+        from .pallas_composite import composite_tiles_pallas
+
+        blk = _pix_blocks(pix_x, pix_y, dirs)
+        out8 = composite_tiles_pallas(inst, counts, blk, C, cfg)
+        color_t, depth_t, final_T_t = out8[:, :C], out8[:, C], out8[:, C + 1]
+    else:
+        inst_valid = (
+            jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
+        )
+        out = composite_packed(inst, inst_valid, dirs, pix_x, pix_y, C, cfg)
+        color_t, depth_t, final_T_t = out.color, out.depth, out.final_T
 
     # --- reassemble tiles into the image ---
     th, tw = cfg.tile_h, cfg.tile_w
-    color = out.color.reshape(gy, gx, C, th, tw).transpose(2, 0, 3, 1, 4)
+    color = color_t.reshape(gy, gx, C, th, tw).transpose(2, 0, 3, 1, 4)
     color = color.reshape(C, gy * th, gx * tw)[:, :H, :W]
-    depth = out.depth.reshape(gy, gx, th, tw).transpose(0, 2, 1, 3)
+    depth = depth_t.reshape(gy, gx, th, tw).transpose(0, 2, 1, 3)
     depth = depth.reshape(gy * th, gx * tw)[:H, :W]
-    final_T = out.final_T.reshape(gy, gx, th, tw).transpose(0, 2, 1, 3)
+    final_T = final_T_t.reshape(gy, gx, th, tw).transpose(0, 2, 1, 3)
     final_T = final_T.reshape(gy * th, gx * tw)[:H, :W]
 
     color = color + final_T[None] * bg[:, None, None]
