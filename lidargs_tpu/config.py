@@ -35,6 +35,11 @@ class RasterConfig:
     ray_divergence_angle: float = 0.002
     near: float = 0.0
     far: float = 80.0
+    # --- surfel (2DGS) variant (surfel auxiliary.h:18-39, forward.cu:18) ---
+    surfel_ray_divergence_angle: float = 0.006
+    surfel_near: float = 0.2                # near_n: per-instance depth cull
+    surfel_far: float = 80.0                # far_n: distortion-loss mapping
+    filter_inv_square: float = 2.0          # 2D low-pass fallback strength
     alpha_min: float = 1.0 / 255.0
     transmittance_min: float = 1e-4
     alpha_clamp: float = 0.99

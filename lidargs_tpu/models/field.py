@@ -269,3 +269,31 @@ def render_field(
         splats = splats._replace(sphere_mean=splats.sphere_mean + sphere_proxy)
     out = render_tiled(splats, frame.beams, frame.W, bg, rcfg, tile_spec=tile_spec)
     return out, ng, anchor_visible
+
+
+def render_field_surfel(
+    params: dict,
+    valid: jnp.ndarray,
+    frame: LidarFrame,
+    mcfg: ModelConfig,
+    rcfg: RasterConfig,
+    bg: jnp.ndarray,
+):
+    """Surfel (2DGS) render path: the same Neural Gaussian Field decode, but
+    the first two decoded covariance scales parameterize a 2D surfel whose
+    third local axis is its normal (the reference's alternative
+    diff_lidargs_surfel_rasterization backend, readme.md:42; its Python glue
+    was never released, so the decode mirrors the 3DGS-variant renderer,
+    gaussian_renderer/__init__.py:17-119, with scaling[:, :2])."""
+    from ..ops.surfel import preprocess_surfels, render_surfels
+
+    anchor_visible = prefilter_anchors(params, valid, frame, rcfg)
+    ng = generate_neural_gaussians(
+        params, valid, anchor_visible, frame.center, mcfg, cam_uid=frame.uid
+    )
+    pk = preprocess_surfels(
+        ng.xyz, ng.scaling[:, :2], ng.rot, ng.opacity, ng.feat, ng.mask,
+        frame.w2s_rot, frame.w2s_trans, frame.beams, frame.W, rcfg,
+    )
+    out = render_surfels(pk, frame.beams, frame.W, bg, rcfg, C=ng.feat.shape[-1])
+    return out, ng, anchor_visible

@@ -1,4 +1,12 @@
-from .projection import Splats, preprocess_gaussians, quat_to_rotmat, build_cov3d
-from .composite import composite_depth_ordered, CompositeOut
+from .projection import (
+    PackedCols,
+    Splats,
+    build_cov3d,
+    pack_splats,
+    preprocess_gaussians,
+    quat_to_rotmat,
+)
+from .composite import CompositeOut, composite_depth_ordered, composite_packed
 from .reference import render_reference
-from .rasterize import render_tiled, RenderOut
+from .rasterize import RenderOut, render_tiled
+from .surfel import SurfelCols, SurfelOut, preprocess_surfels, render_surfels

@@ -69,10 +69,13 @@ class Splats(NamedTuple):
     pix_rect: jnp.ndarray     # [P,4] parity rect: x0, x1, y0, y1 (pixel units)
 
 
-def _project_rows(alpha_el: jnp.ndarray, beams: jnp.ndarray, rda: float):
+def _project_rows(alpha_el: jnp.ndarray, beams: jnp.ndarray, rda: float,
+                  margin: float = 2.0):
     """Elevation angle -> fractional row (pre-flip) + local beam gap +
     divergence rejection. Mirrors forward.cu:336-358 incl. the asymmetric
-    index-0 branch."""
+    index-0 branch. The beam-splatting variant rejects at 2x the ray
+    divergence angle (forward.cu:345,356); the surfel variant at 1x
+    (surfel forward.cu:163,170) — hence `margin`."""
     H = beams.shape[0]
     idx = jnp.clip(jnp.searchsorted(beams, alpha_el, side="left"), 0, H - 1)
     hi = idx > 0
@@ -85,8 +88,8 @@ def _project_rows(alpha_el: jnp.ndarray, beams: jnp.ndarray, rda: float):
     row = jnp.where(hi, row_hi, row_lo)
     ok = jnp.where(
         hi,
-        alpha_el <= after + 2.0 * rda,
-        alpha_el >= before - 2.0 * rda,
+        alpha_el <= after + margin * rda,
+        alpha_el >= before - margin * rda,
     )
     return row, gap, ok
 
