@@ -239,6 +239,17 @@ def dump_renders(scene, state, trainer, cfg, logger):
     )
     out_dir = os.path.join(cfg.model_path, "renders")
     os.makedirs(out_dir, exist_ok=True)
+    # shared per-pixel ray dirs (dir.npy of extre_train_raydrop.py:70)
+    fr0 = scene.data.train_frames[0]
+    H, W = fr0.H, fr0.W
+    import jax.numpy as jnp
+
+    from ..ops.composite import pixel_rays
+
+    rows = jnp.repeat(jnp.arange(H, dtype=jnp.int32), W)
+    cols = jnp.tile(jnp.arange(W, dtype=jnp.int32), H)
+    np.save(os.path.join(out_dir, "dir.npy"),
+            np.asarray(pixel_rays(rows, cols, jnp.asarray(fr0.beams), W)))
     for name, frames in (("train", scene.data.train_frames),
                          ("test", scene.data.test_frames)):
         for i, fr in enumerate(frames):
@@ -255,5 +266,47 @@ def dump_renders(scene, state, trainer, cfg, logger):
     logger.info(f"dumped renders to {out_dir}")
 
 
+def refine_main(argv=None):
+    """Standalone offline raydrop refinement over dumped renders — the
+    TPU-native equivalent of `python scene/extre_train_raydrop.py`
+    (tcnn frequency MLP -> models/raydrop.py). Usage:
+    python -m lidargs_tpu.train.cli refine --renders <model_path>/renders"""
+    import glob
+
+    import jax
+
+    from ..models.raydrop import train_raydrop_refiner
+    from ..utils.serialization import save_pytree_npz
+
+    p = argparse.ArgumentParser("lidargs_tpu raydrop refiner")
+    p.add_argument("--renders", required=True,
+                   help="directory produced by --dump_renders")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--out", default=None)
+    p.add_argument("--depth_scale", type=float, default=80.0)
+    args = p.parse_args(argv)
+
+    dirs = np.load(os.path.join(args.renders, "dir.npy")).reshape(-1, 3)
+    inten, depth, gt = [], [], []
+    for f in sorted(glob.glob(os.path.join(args.renders, "train_*.npy"))):
+        d = np.load(f)                       # [6, H, W]
+        inten.append(d[0].reshape(-1))
+        depth.append(d[2].reshape(-1) / args.depth_scale)
+        gt.append(d[3].reshape(-1))
+    params, hist = train_raydrop_refiner(
+        jax.random.key(0), dirs, np.stack(inten), np.stack(depth), np.stack(gt),
+        epochs=args.epochs, lr=args.lr, log_every=5,
+    )
+    out = args.out or os.path.join(args.renders, "raydrop_refiner.npz")
+    save_pytree_npz(out, params)
+    print(f"refiner saved to {out}; final loss {hist[-1]:.6f}")
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "refine":
+        refine_main(sys.argv[2:])
+    else:
+        main()

@@ -130,7 +130,15 @@ def test_cli_end_to_end(tmp_path):
     )
     assert os.path.exists(os.path.join(model_dir, "chkpnt20.npz"))
     renders = os.listdir(os.path.join(model_dir, "renders"))
-    assert len(renders) == 50
+    assert len(renders) == 51  # 46 train + 4 test dumps + dir.npy
+    assert "dir.npy" in renders
+
+    # offline raydrop refinement over the dumped renders (P13 equivalent)
+    from lidargs_tpu.train import cli as _cli
+    _cli.refine_main(["--renders", os.path.join(model_dir, "renders"),
+                      "--epochs", "2"])
+    assert os.path.exists(os.path.join(model_dir, "renders",
+                                       "raydrop_refiner.npz"))
 
     # resume from the checkpoint and continue
     argv_resume = argv[:argv.index("--checkpoint_iterations")] + [
