@@ -103,7 +103,9 @@ def read_lidar_scene(
         frame = LidarFrame.from_lidar2world(l2w, beams, gt, uid=idx)
         (test_frames if is_test else train_frames).append(frame)
 
-        pts_local = pano_to_lidar(depth, beam_inclinations=beams)
+        from ..native import pano_to_points
+
+        pts_local = pano_to_points(depth, None, beams)[:, :3]
         pts_world = pts_local @ l2w[:3, :3].T + l2w[:3, 3]
         pcds.append(pts_world)
 

@@ -81,8 +81,11 @@ def init_field_params(key, cfg: ModelConfig, num_cameras: int = 0) -> dict:
 
 
 def voxelize_points(points: np.ndarray, voxel_size: float) -> np.ndarray:
-    """Unique voxel-rounded sample (gaussian_model.py:272-276)."""
-    return np.unique(np.round(points / voxel_size), axis=0) * voxel_size
+    """Unique voxel-rounded sample (gaussian_model.py:272-276). Hash-set
+    based in C++ when the native library is available (native/)."""
+    from ..native import voxel_unique
+
+    return voxel_unique(points, voxel_size)
 
 
 def init_field_from_points(
