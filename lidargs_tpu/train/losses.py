@@ -121,3 +121,70 @@ def lidar_losses(
         l1_intensity=ll1,
         ssim_intensity=ssim_loss,
     )
+
+
+# ---------------------------------------------------------------------------
+# ray-drop segmentation losses (defined in the reference but unused by its
+# train loop: raydrop_lossf, utils/loss_utils.py:66-101 + lovasz_softmax.py)
+# ---------------------------------------------------------------------------
+
+def lovasz_grad(gt_sorted: jnp.ndarray) -> jnp.ndarray:
+    """Gradient of the Lovasz extension wrt sorted errors (Alg. 1,
+    lovasz_softmax.py:49-62)."""
+    gts = jnp.sum(gt_sorted)
+    intersection = gts - jnp.cumsum(gt_sorted)
+    union = gts + jnp.cumsum(1.0 - gt_sorted)
+    jaccard = 1.0 - intersection / union
+    return jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
+
+
+def lovasz_softmax_flat(probas: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Multi-class Lovasz-Softmax (lovasz_softmax.py:64-87). probas [P, C],
+    labels [P] in [0, C); classes absent from the batch are skipped (masked
+    mean — static shapes, unlike the torch early-continue)."""
+    P, C = probas.shape
+    valid_lbl = labels >= 0
+    losses = []
+    present = []
+    for c in range(C):
+        fg = ((labels == c) & valid_lbl).astype(jnp.float32)
+        errors = jnp.abs(fg - probas[:, c])
+        order = jnp.argsort(-errors)
+        errors_sorted = errors[order]
+        fg_sorted = fg[order]
+        losses.append(jnp.dot(errors_sorted, lovasz_grad(fg_sorted)))
+        present.append(jnp.sum(fg) > 0)
+    losses = jnp.stack(losses)
+    present = jnp.stack(present).astype(jnp.float32)
+    return jnp.sum(losses * present) / jnp.maximum(jnp.sum(present), 1.0)
+
+
+def get_ce_weights(gt_label: jnp.ndarray, n_classes: int,
+                   max_weights: float = 50.0) -> jnp.ndarray:
+    """Online inverse-frequency class weights (loss_utils.py:66-76)."""
+    eps = 1e-20
+    counts = jnp.stack(
+        [jnp.sum(gt_label == c).astype(jnp.float32) + eps for c in range(n_classes)]
+    )
+    inv_freq = jnp.sum(counts) / counts
+    return jnp.clip(jnp.sqrt(inv_freq), 0.0, max_weights)
+
+
+def raydrop_lossf(est: jnp.ndarray, gt: jnp.ndarray, lambda_bce: float = 0.15,
+                  lambda_lov: float = 0.15, reweight: bool = True) -> jnp.ndarray:
+    """Weighted CE + Lovasz-softmax ray-drop loss (loss_utils.py:78-101).
+    est: [B, C] logits; gt: [B] int labels (-1 = ignore)."""
+    B, C = est.shape
+    logp = jax.nn.log_softmax(est, axis=1)
+    ok = gt >= 0
+    gt_safe = jnp.where(ok, gt, 0)
+    nll = -jnp.take_along_axis(logp, gt_safe[:, None], axis=1)[:, 0]
+    if reweight:
+        w = get_ce_weights(jnp.where(ok, gt, C), C)
+        ws = w[gt_safe] * ok
+    else:
+        ws = ok.astype(jnp.float32)
+    ce = jnp.sum(nll * ws) / jnp.maximum(jnp.sum(ws), 1e-20)
+    lov = lovasz_softmax_flat(jax.nn.softmax(est, axis=1),
+                              jnp.where(ok, gt, -1))
+    return lambda_bce * ce + lambda_lov * lov
