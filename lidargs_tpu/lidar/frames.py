@@ -21,13 +21,17 @@ class LidarFrame:
     """Immutable per-frame data. All fields are arrays so a stack of frames
     can itself be a LidarFrame (leading batch dim) for data-parallel steps."""
 
-    def __init__(self, w2s_rot, w2s_trans, center, beams, gt_image, uid):
+    def __init__(self, w2s_rot, w2s_trans, center, beams, gt_image, uid,
+                 pixel_mask=None):
         self.w2s_rot = w2s_rot        # [3,3] world->sensor rotation
         self.w2s_trans = w2s_trans    # [3]   world->sensor translation
         self.center = center          # [3]   sensor origin in world
         self.beams = beams            # [H]   ascending inclinations (rad)
         self.gt_image = gt_image      # [3,H,W] raydrop, intensity, depth
         self.uid = uid                # []    frame index (appearance embedding)
+        # optional [H,W] bool loss mask (dynamic decomposition: static- or
+        # object-only pixels, scene/waymoDynamic.py:245-275); None = all
+        self.pixel_mask = pixel_mask
 
     @property
     def H(self) -> int:
@@ -39,7 +43,8 @@ class LidarFrame:
 
     def tree_flatten(self):
         return (
-            (self.w2s_rot, self.w2s_trans, self.center, self.beams, self.gt_image, self.uid),
+            (self.w2s_rot, self.w2s_trans, self.center, self.beams,
+             self.gt_image, self.uid, self.pixel_mask),
             None,
         )
 
@@ -49,7 +54,8 @@ class LidarFrame:
 
     @classmethod
     def from_lidar2world(cls, l2w: np.ndarray, beams: np.ndarray,
-                         gt_image: np.ndarray, uid: int = 0) -> "LidarFrame":
+                         gt_image: np.ndarray, uid: int = 0,
+                         pixel_mask: np.ndarray = None) -> "LidarFrame":
         """Build from a 4x4 lidar->world pose, as the Waymo reader does
         (`scene/dataset_readers.py:416-422`)."""
         l2w = np.asarray(l2w, dtype=np.float64)
@@ -62,6 +68,8 @@ class LidarFrame:
             beams=jnp.asarray(beams, dtype=jnp.float32),
             gt_image=jnp.asarray(gt_image, dtype=jnp.float32),
             uid=jnp.asarray(uid, dtype=jnp.int32),
+            pixel_mask=(None if pixel_mask is None
+                        else jnp.asarray(pixel_mask, dtype=jnp.bool_)),
         )
 
     def transform_to_sensor(self, points: Any) -> Any:

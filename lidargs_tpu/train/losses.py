@@ -82,16 +82,25 @@ def lidar_losses(
     raydrop_lambda: float = 10.0,
     scale_reg: float = 0.01,
     grad_clip_x: float = 0.01,
+    pixel_mask: jnp.ndarray = None,   # optional [H,W] bool loss mask
 ) -> LossTerms:
     """The reference training loss (train.py:150-203): GT-raydrop-masked
     depth L1 + intensity L1/SSIM mix + raydrop MSE + scale-product
-    regularizer + masked azimuth-gradient L1."""
+    regularizer + masked azimuth-gradient L1.
+
+    `pixel_mask` restricts every pixel term to a region — the dynamic
+    decomposition trains the background / each vehicle on its own pixels
+    (scene/waymoDynamic.py:245-275)."""
     ray_drop = gt_image[0:1]
+    if pixel_mask is not None:
+        ray_drop = ray_drop * pixel_mask[None]
     gt_intensity = gt_image[1:2] * ray_drop
     gt_depth = gt_image[2:3] * ray_drop
 
     render_intensity = render_color[0:1] * ray_drop
     render_raydrop = render_color[1:2]
+    if pixel_mask is not None:
+        render_raydrop = render_raydrop * pixel_mask[None]
     depth = render_depth[None] * ray_drop
 
     raydrop_loss = raydrop_lambda * l2_loss(render_raydrop, ray_drop)

@@ -92,6 +92,7 @@ def train_step(
             raydrop_lambda=ocfg.raydrop_lambda,
             scale_reg=ocfg.scale_reg,
             grad_clip_x=ocfg.grad_clip_x,
+            pixel_mask=frame.pixel_mask,
         )
         return lt.total, (out, ng, anchor_vis, lt)
 
