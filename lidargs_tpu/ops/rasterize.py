@@ -67,9 +67,10 @@ def _tile_rects(rect, center, valid, cfg: RasterConfig, gx: int, gy: int):
     return x0, y0, wc, hc, clipped
 
 
-def bin_instances(rect, center, valid, cfg: RasterConfig, gx: int, gy: int):
+def bin_instances(rect, center, valid, cfg: RasterConfig, gx: int, gy: int,
+                  tile_lo=None, n_tiles: int = None):
     """Expand gaussians to (tile, id) instances, sort, slice per-tile lists.
-    Returns ([T, K] gaussian ids, [T] counts, overflow count).
+    Returns ([Tl, K] gaussian ids, [Tl] counts, overflow count).
 
     PRECONDITION: the input is already depth-ordered (see render_tiled's
     cull/compact sort), so the gaussian index IS the depth rank. That lets
@@ -77,9 +78,15 @@ def bin_instances(rect, center, valid, cfg: RasterConfig, gx: int, gy: int):
     keys (rasterizer_impl.cu:70-112,317-322) collapse to ONE `lax.sort`
     over a single fused int32 key ``tile << ceil_log2(V) | gid`` — the
     payload rides inside the key, and since every (gaussian, tile) pair is
-    unique the keys are distinct and stability is irrelevant."""
+    unique the keys are distinct and stability is irrelevant.
+
+    `tile_lo` (traced) + `n_tiles` (static) restrict binning to the tile
+    window [tile_lo, tile_lo + n_tiles): instances outside are dropped —
+    the tile-sharded multi-chip path bins only the tiles a device owns."""
     V = valid.shape[0]
     T = gx * gy
+    Tl = T if n_tiles is None else n_tiles
+    lo = jnp.int32(0) if tile_lo is None else jnp.asarray(tile_lo, jnp.int32)
     cap = cfg.max_tiles_per_gaussian
     x0, y0, wc, hc, _clipped = _tile_rects(rect, center, valid, cfg, gx, gy)
 
@@ -87,13 +94,14 @@ def bin_instances(rect, center, valid, cfg: RasterConfig, gx: int, gy: int):
     jx = j % wc[:, None]
     jy = j // wc[:, None]
     inst_ok = (jy < hc[:, None]) & valid[:, None]
-    tile = (y0[:, None] + jy) * gx + (x0[:, None] + jx)
-    tile = jnp.where(inst_ok, tile, T).astype(jnp.int32)          # sentinel last
+    tile = ((y0[:, None] + jy) * gx + (x0[:, None] + jx)).astype(jnp.int32) - lo
+    inst_ok = inst_ok & (tile >= 0) & (tile < Tl)
+    tile = jnp.where(inst_ok, tile, Tl)                           # sentinel last
 
     shift = max(int(V - 1).bit_length(), 1)
-    if shift + int(T).bit_length() > 31:
+    if shift + int(Tl).bit_length() > 31:
         raise ValueError(
-            f"fused binning key overflows int32: V={V} tiles={T}; "
+            f"fused binning key overflows int32: V={V} tiles={Tl}; "
             "reduce max_visible or enlarge tiles"
         )
     gid = jnp.arange(V, dtype=jnp.int32)[:, None]
@@ -101,7 +109,7 @@ def bin_instances(rect, center, valid, cfg: RasterConfig, gx: int, gy: int):
 
     (s_key,) = jax.lax.sort((key.reshape(-1),), num_keys=1, is_stable=False)
 
-    bounds = (jnp.arange(T + 1, dtype=jnp.int32) << shift)
+    bounds = (jnp.arange(Tl + 1, dtype=jnp.int32) << shift)
     starts = jnp.searchsorted(s_key, bounds)
     counts = starts[1:] - starts[:-1]
     K = cfg.tile_capacity
@@ -112,13 +120,16 @@ def bin_instances(rect, center, valid, cfg: RasterConfig, gx: int, gy: int):
     return ids, jnp.minimum(counts, K), n_overflow
 
 
-def _tile_pixels(H: int, W: int, cfg: RasterConfig, gx: int, gy: int, beams):
+def _tile_pixels(H: int, W: int, cfg: RasterConfig, gx: int, gy: int, beams,
+                 tiles=None):
+    """Per-tile pixel coords + ray dirs. `tiles`: optional [Tl] global tile
+    indices (default: all gy*gx tiles)."""
     th, tw = cfg.tile_h, cfg.tile_w
-    T = gx * gy
-    t = jnp.arange(T, dtype=jnp.int32)
+    t = (jnp.arange(gx * gy, dtype=jnp.int32) if tiles is None
+         else jnp.asarray(tiles, jnp.int32))
     rows = (t // gx)[:, None] * th + jnp.arange(th, dtype=jnp.int32)[None, :]
     cols = (t % gx)[:, None] * tw + jnp.arange(tw, dtype=jnp.int32)[None, :]
-    pix_y = jnp.repeat(rows, tw, axis=1)                      # [T, th*tw]
+    pix_y = jnp.repeat(rows, tw, axis=1)                      # [Tl, th*tw]
     pix_x = jnp.tile(cols, (1, th))
     safe_rows = jnp.minimum(pix_y, H - 1)
     dirs = pixel_rays(safe_rows, pix_x % W, beams, W)
@@ -149,6 +160,64 @@ def _use_pallas(cfg: RasterConfig, C: int) -> bool:
         and C + 2 <= 8
         and cfg.tile_capacity % cfg.pallas_chunk == 0
     )
+
+
+def render_packed_window(
+    pkv: jnp.ndarray,            # [V, F] depth-ordered packed splats
+    beams: jnp.ndarray,
+    W: int,
+    cfg: RasterConfig,
+    C: int,
+    tile_lo=None,                # traced window start (global tile index)
+    n_tiles: int = None,         # static window size (default: full grid)
+    tile_spec=None,
+):
+    """Bin + composite a window of tiles against the packed gaussian set.
+    Returns per-tile strips (color [Tl,C,npix], depth, final_T, overflow) —
+    the building block shared by the single-chip path (full window) and the
+    shard_map multi-chip path (each device owns a contiguous window)."""
+    H = beams.shape[0]
+    gy, gx = cfg.grid_shape(H, W)
+    Tl = gy * gx if n_tiles is None else n_tiles
+    F = pkv.shape[1]
+    K = cfg.tile_capacity
+    vvalid = pkv[:, PackedCols.validf(C)] > 0.0
+    rect = pkv[:, PackedCols.rect(C)].astype(jnp.int32)
+    center = pkv[:, PackedCols.center(C)]
+
+    ids, counts, n_overflow = bin_instances(
+        rect, center, vvalid, cfg, gx, gy, tile_lo=tile_lo, n_tiles=n_tiles
+    )
+
+    # one wide row-gather materialises the per-tile instance lists; its
+    # transpose (backward) is a deterministic scatter-add — the TPU analogue
+    # of the reference backward's atomicAdd accumulation (backward.cu:702-788)
+    inst = jnp.take(pkv, ids.reshape(-1), axis=0, mode="clip").reshape(Tl, K, F)
+    lo = jnp.int32(0) if tile_lo is None else jnp.asarray(tile_lo, jnp.int32)
+    tiles = lo + jnp.arange(Tl, dtype=jnp.int32)
+    pix_x, pix_y, dirs = _tile_pixels(H, W, cfg, gx, gy, beams, tiles=tiles)
+
+    if tile_spec is not None:
+        from jax.sharding import PartitionSpec as _P
+
+        wsc = jax.lax.with_sharding_constraint
+        inst = wsc(inst, _P(tile_spec, None, None))
+        counts = wsc(counts, _P(tile_spec))
+        pix_x = wsc(pix_x, _P(tile_spec, None))
+        pix_y = wsc(pix_y, _P(tile_spec, None))
+        dirs = wsc(dirs, _P(tile_spec, None, None))
+
+    if _use_pallas(cfg, C):
+        from .pallas_composite import composite_tiles_pallas
+
+        blk = _pix_blocks(pix_x, pix_y, dirs)
+        out8 = composite_tiles_pallas(inst, counts, blk, C, cfg)
+        color_t, depth_t, final_T_t = out8[:, :C], out8[:, C], out8[:, C + 1]
+    else:
+        inst_valid = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
+        out = composite_packed(inst, inst_valid, dirs, pix_x, pix_y, C, cfg)
+        color_t, depth_t, final_T_t = out.color, out.depth, out.final_T
+    return color_t, depth_t, final_T_t, n_overflow
 
 
 def render_tiled(
@@ -186,39 +255,9 @@ def render_tiled(
     n_valid_total = jnp.sum(splats.valid)
     n_dropped = n_valid_total - jnp.sum(vvalid)
 
-    rect = pkv[:, PackedCols.rect(C)].astype(jnp.int32)
-    center = pkv[:, PackedCols.center(C)]
-    ids, counts, n_overflow = bin_instances(rect, center, vvalid, cfg, gx, gy)
-    K = cfg.tile_capacity
-
-    # one wide row-gather materialises the per-tile instance lists; its
-    # transpose (backward) is a deterministic scatter-add — the TPU analogue
-    # of the reference backward's atomicAdd accumulation (backward.cu:702-788)
-    inst = jnp.take(pkv, ids.reshape(-1), axis=0, mode="clip").reshape(Tn, K, F)
-    pix_x, pix_y, dirs = _tile_pixels(H, W, cfg, gx, gy, beams)
-
-    if tile_spec is not None:
-        from jax.sharding import PartitionSpec as _P
-
-        wsc = jax.lax.with_sharding_constraint
-        inst = wsc(inst, _P(tile_spec, None, None))
-        counts = wsc(counts, _P(tile_spec))
-        pix_x = wsc(pix_x, _P(tile_spec, None))
-        pix_y = wsc(pix_y, _P(tile_spec, None))
-        dirs = wsc(dirs, _P(tile_spec, None, None))
-
-    if _use_pallas(cfg, C):
-        from .pallas_composite import composite_tiles_pallas
-
-        blk = _pix_blocks(pix_x, pix_y, dirs)
-        out8 = composite_tiles_pallas(inst, counts, blk, C, cfg)
-        color_t, depth_t, final_T_t = out8[:, :C], out8[:, C], out8[:, C + 1]
-    else:
-        inst_valid = (
-            jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
-        )
-        out = composite_packed(inst, inst_valid, dirs, pix_x, pix_y, C, cfg)
-        color_t, depth_t, final_T_t = out.color, out.depth, out.final_T
+    color_t, depth_t, final_T_t, n_overflow = render_packed_window(
+        pkv, beams, W, cfg, C, tile_spec=tile_spec
+    )
 
     # --- reassemble tiles into the image ---
     th, tw = cfg.tile_h, cfg.tile_w

@@ -110,3 +110,64 @@ def test_tile_sharded_render_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(sharded.depth), np.asarray(plain.depth), atol=1e-4
     )
+
+
+def test_sharded_render_matches_single_device():
+    """Gaussian+tile sharded shard_map render == single-device render_field."""
+    import numpy as _np
+    import jax.random as jr
+    from lidargs_tpu.config import ModelConfig, RasterConfig
+    from lidargs_tpu.lidar.beams import uniform_beam_inclinations
+    from lidargs_tpu.lidar.frames import LidarFrame
+    from lidargs_tpu.models.field import init_field_from_points, render_field
+    from lidargs_tpu.parallel.mesh import make_mesh
+    from lidargs_tpu.parallel.sharded_render import render_field_sharded
+
+    n_dev = len(jax.devices())
+    assert n_dev >= 8, "conftest must set xla_force_host_platform_device_count=8"
+
+    H, W = 16, 256
+    mcfg = ModelConfig(feat_dim=8, n_offsets=2, mlp_hidden=8, anchor_capacity=1024)
+    rcfg = RasterConfig(max_visible=2048, max_tiles_per_gaussian=16,
+                        tile_capacity=64, chunk=8)
+    rng = _np.random.default_rng(0)
+    az = rng.uniform(-_np.pi, _np.pi, 900)
+    el = rng.uniform(-0.3, 0.1, 900)
+    r = rng.uniform(5.0, 50.0, 900)
+    pts = _np.stack([r * _np.cos(el) * _np.cos(az),
+                     r * _np.cos(el) * _np.sin(az), r * _np.sin(el)], -1)
+    beams = uniform_beam_inclinations(6.0, 24.0, H)
+    gt = _np.zeros((3, H, W), _np.float32)
+    frame = LidarFrame.from_lidar2world(_np.eye(4), beams, gt, uid=0)
+    field = init_field_from_points(jr.key(0), mcfg, pts, voxel_size=2.0)
+    bg = jnp.asarray([0.1, 0.9], jnp.float32)
+
+    ref, _, _ = jax.jit(
+        lambda p, v, f: render_field(p, v, f, mcfg, rcfg, bg)
+    )(field.params, field.valid, frame)
+
+    mesh = make_mesh(data=1, tile=8)
+    shr = jax.jit(
+        lambda p, v, f: render_field_sharded(p, v, f, mcfg, rcfg, bg, mesh)
+    )(field.params, field.valid, frame)
+
+    np.testing.assert_allclose(np.asarray(shr.color), np.asarray(ref.color),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(shr.depth), np.asarray(ref.depth),
+                               atol=1e-4)
+    assert float(shr.occ.max()) > 0.3
+
+    # gradients flow through the all-gather (reduce-scatter transpose)
+    def loss(p):
+        o = render_field_sharded(p, field.valid, frame, mcfg, rcfg, bg, mesh)
+        return jnp.mean(o.color ** 2) + 0.01 * jnp.mean(o.depth)
+
+    def loss_ref(p):
+        o, _, _ = render_field(p, field.valid, frame, mcfg, rcfg, bg)
+        return jnp.mean(o.color ** 2) + 0.01 * jnp.mean(o.depth)
+
+    g_s = jax.jit(jax.grad(loss))(field.params)
+    g_r = jax.jit(jax.grad(loss_ref))(field.params)
+    for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=2e-3)
