@@ -64,6 +64,11 @@ def build_config(argv=None):
                    help="save per-frame renders as npy (raydrop refiner input)")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--tensorboard", action="store_true",
+                   help="log scalars/images to <model_path>/tb")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace of N steps into "
+                        "<model_path>/trace")
     args = p.parse_args(argv)
 
     # kitti default raydrop weight is 1 (train.py:164)
@@ -183,19 +188,35 @@ def main(argv=None):
         first_iter = args.start_checkpoint
         logger.info(f"resumed from iteration {first_iter}")
 
+    from ..utils.profiling import StepTimer, TensorBoardLogger, trace as jtrace
+
+    tb = TensorBoardLogger(os.path.join(cfg.model_path, "tb")
+                           if args.tensorboard else None)
+    timer = StepTimer().start()
+    profile_ctx = None
+
     rng = random.Random(cfg.seed)
     frame_stack = None
     ema = None
     densify_key = jax.random.key(cfg.seed)
     t_start = time.time()
     for it in range(first_iter + 1, cfg.opt.iterations + 1):
+        if args.profile_steps and it == first_iter + 2:   # skip compile step
+            profile_ctx = jtrace(os.path.join(cfg.model_path, "trace"))
+            profile_ctx.__enter__()
         if not frame_stack:
             frame_stack = list(range(len(scene.data.train_frames)))
         fidx = frame_stack.pop(rng.randint(0, len(frame_stack) - 1))
         state, metrics = trainer.step(state, scene.data.train_frames[fidx], it)
+        if profile_ctx is not None and it >= first_iter + 1 + args.profile_steps:
+            jax.block_until_ready(state.params["anchor"])
+            profile_ctx.__exit__(None, None, None)
+            profile_ctx = None
+            logger.info(f"profiler trace written to {cfg.model_path}/trace")
 
         if it % cfg.log_every == 0:
             loss = float(metrics.loss.total)  # sync point
+            dt_ms = timer.tick()
             ema = loss if ema is None else 0.4 * loss + 0.6 * ema
             logger.info(
                 f"iter {it}: loss={ema:.5f} anchors={int(metrics.n_anchors)} "
@@ -203,6 +224,15 @@ def main(argv=None):
                 f"overflow={int(metrics.n_overflow)} "
                 f"({(time.time() - t_start) / it * 1e3:.0f} ms/it avg)"
             )
+            if tb.active:
+                lt = metrics.loss
+                tb.scalars({
+                    "total_loss": lt.total, "depth_l1": lt.depth,
+                    "intensity": lt.intensity, "raydrop": lt.raydrop,
+                    "l1_loss": lt.l1_intensity, "ssim": lt.ssim_intensity,
+                }, it, prefix="train_loss/")
+                tb.scalar("iter_time", dt_ms / cfg.log_every, it)
+                tb.scalar("anchors", int(metrics.n_anchors), it)
         if trainer.should_densify(int(metrics.n_anchors), it):
             densify_key, sub = jax.random.split(densify_key)
             state, dstats = trainer.densify(state, sub, scene.field.voxel_size)
@@ -220,10 +250,13 @@ def main(argv=None):
             path = scene.save_train_state(state, it)
             logger.info(f"saved training checkpoint to {path}")
 
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
     run_eval(scene, state, trainer, cfg, logger, compute_chamfer=args.eval_chamfer)
     measure_fps(scene, state, trainer, logger)
     if args.dump_renders:
         dump_renders(scene, state, trainer, cfg, logger)
+    tb.close()
     return state
 
 

@@ -161,3 +161,40 @@ def test_ce_weights_inverse_frequency():
     w = get_ce_weights(gt, 2)
     assert float(w[1]) > float(w[0])
     np.testing.assert_allclose(float(w[0]), np.sqrt(100 / 90), rtol=1e-5)
+
+
+def test_step_timer_and_tb_logger(tmp_path):
+    import time as _time
+
+    from lidargs_tpu.utils.profiling import StepTimer, TensorBoardLogger
+
+    t = StepTimer().start()
+    for _ in range(5):
+        _time.sleep(0.002)
+        t.tick()
+    s = t.stats(skip=0)
+    assert s["mean_ms"] >= 1.0 and s["steps_per_s"] > 0
+
+    tb = TensorBoardLogger(str(tmp_path / "tb"))
+    assert tb.active
+    tb.scalar("x", 1.0, 0)
+    tb.scalars({"a": 1, "b": 2}, 1, prefix="pre/")
+    tb.depth_image("d", np.random.default_rng(0).uniform(0, 80, (8, 16)), 0)
+    tb.flush()
+    tb.close()
+    assert any(os.scandir(str(tmp_path / "tb")))
+
+
+def test_profiler_trace_capture(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from lidargs_tpu.utils.profiling import annotate, trace
+
+    logdir = str(tmp_path / "trace")
+    f = jax.jit(lambda x: jnp.sin(x) @ jnp.cos(x))
+    x = jnp.ones((64, 64))
+    with trace(logdir):
+        with annotate("hot"):
+            jax.block_until_ready(f(x))
+    assert os.path.isdir(logdir) and any(os.scandir(logdir))
