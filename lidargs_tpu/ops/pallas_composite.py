@@ -18,11 +18,12 @@ TPU-native equivalent of the reference's per-pixel CUDA walk
     [CH, 128] -> lane-reductions instead of the reference's float atomicAdd
     races (backward.cu:702-788).
 
-The backward kernel replays the forward walk (recording per-chunk entry
-transmittance in VMEM scratch — the analogue of the saved final_T /
-n_contrib of the CUDA backward) and then computes analytic gradients wrt
-every packed instance field using suffix sums
-`after_i = total - inclusive_prefix_i` of the applied weights.
+The backward kernel is a SINGLE forward-order pass: the chunk-entry
+transmittance is the running carry, and every "what's behind" term of the
+alpha gradient is a suffix sum `after_i = total - inclusive_prefix_i` with
+totals taken from the saved outputs — unlike the CUDA backward, which
+re-walks the list back-to-front dividing the saved final_T out
+(backward.cu:537-604), there is no second traversal and no division chain.
 
 Gradients flow to the per-gaussian parameters through the (differentiable)
 XLA row-gathers that built the [T, K, F] instance tensor — the transpose of
@@ -184,7 +185,11 @@ def _fwd_kernel(counts_ref, inst_ref, pix_ref, out_ref, *, C, CH, cfg):
 
 
 def _bwd_kernel(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
-                tin_ref, din_ref, *, C, CH, K, F, cfg):
+                *, C, CH, K, F, cfg):
+    """Single forward-order pass: the chunk-entry transmittance IS the
+    running carry, and every suffix term is `total - running prefix`
+    (totals = the saved outputs) — no replay pass, unlike the CUDA
+    backward's saved-final_T back-to-front re-walk (backward.cu:537-604)."""
     count = counts_ref[pl.program_id(0)]
     pixb = pix_ref[0]
     pix = (pixb[0:1], pixb[1:2], pixb[2:3], pixb[3:4], pixb[4:5])
@@ -200,37 +205,16 @@ def _bwd_kernel(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
 
     dinst_ref[0] = jnp.zeros((K, F), jnp.float32)
 
-    # ---- pass 1: replay, record per-chunk entry transmittance/done ----
-    def cond1(st):
-        i, T, done = st
+    def cond(st):
+        i, T, done, Ac, Ad = st
         return (i < nch) & (jnp.min(done) < 0.5)
 
-    def body1(st):
-        i, T, done = st
-        tin_ref[pl.ds(i, 1), :] = T
-        din_ref[pl.ds(i, 1), :] = done
-        s = inst_ref[0, pl.ds(i * CH, CH), :]
-        f = _chunk_fields(s, C)
-        alpha, passed, _ = _alpha_pass(f, pix, count, i * CH, CH, cfg)
-        _, _, _, T, done = _chunk_weights(alpha, passed, T, done, cfg, CH)
-        return (i + 1, T, done)
-
-    init1 = (
-        jnp.zeros((), jnp.int32),
-        jnp.ones((1, LANES), jnp.float32),
-        jnp.zeros((1, LANES), jnp.float32),
-    )
-    nvis, _, _ = jax.lax.while_loop(cond1, body1, init1)
-
-    # ---- pass 2: analytic gradients with running prefix accumulators ----
-    def body2(i, st):
-        Ac, Ad = st                       # [C, LANES], [1, LANES] applied prefix sums
-        T = tin_ref[pl.ds(i, 1), :]
-        done = din_ref[pl.ds(i, 1), :]
-        s = inst_ref[0, pl.ds(i * CH, CH), :]
+    def body(st):
+        i, T, done, Ac, Ad = st           # T/done at chunk ENTRY; applied
+        s = inst_ref[0, pl.ds(i * CH, CH), :]   # prefix sums over chunks < i
         f = _chunk_fields(s, C)
         alpha, passed, gm = _alpha_pass(f, pix, count, i * CH, CH, cfg)
-        w, applied, P, _, _ = _chunk_weights(alpha, passed, T, done, cfg, CH)
+        w, applied, P, T_new, done_new = _chunk_weights(alpha, passed, T, done, cfg, CH)
 
         wc = [w * f["feat"][c] for c in range(C)]
         wd = w * f["dep"]
@@ -288,10 +272,16 @@ def _bwd_kernel(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
             [jnp.sum(wc[c], axis=0, keepdims=True) for c in range(C)], axis=0
         )
         Ad = Ad + jnp.sum(wd, axis=0, keepdims=True)
-        return (Ac, Ad)
+        return (i + 1, T_new, done_new, Ac, Ad)
 
-    init2 = (jnp.zeros((C, LANES), jnp.float32), jnp.zeros((1, LANES), jnp.float32))
-    jax.lax.fori_loop(0, nvis, body2, init2)
+    init = (
+        jnp.zeros((), jnp.int32),
+        jnp.ones((1, LANES), jnp.float32),
+        jnp.zeros((1, LANES), jnp.float32),
+        jnp.zeros((C, LANES), jnp.float32),
+        jnp.zeros((1, LANES), jnp.float32),
+    )
+    jax.lax.while_loop(cond, body, init)
 
 
 def _fwd_call(inst, counts, pix, C: int, cfg: RasterConfig):
@@ -332,10 +322,6 @@ def _bwd_call(inst, counts, pix, res, g, C: int, cfg: RasterConfig):
         ],
         out_specs=pl.BlockSpec((1, K, F), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, K, F), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((K // CH, LANES), jnp.float32),
-            pltpu.VMEM((K // CH, LANES), jnp.float32),
-        ],
         interpret=_interpret(),
     )(counts, inst, pix, res, g)
 

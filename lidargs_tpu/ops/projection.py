@@ -52,6 +52,16 @@ def build_cov3d(scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(RS, jnp.swapaxes(RS, -1, -2), precision=jax.lax.Precision.HIGHEST)
 
 
+def quat_rotate_inv(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Rotate v by the INVERSE of unit quaternion q = (r, x, y, z), i.e.
+    R(q)^T v, without materializing [P, 3, 3] matrices:
+    R(q*) v = v + 2 q_v x (q_v x v - r v) for the conjugate q* = (r, -q_v)."""
+    r = q[..., :1]
+    qv = -q[..., 1:]                       # conjugate
+    uv = jnp.cross(qv, v)
+    return v + 2.0 * (r * uv + jnp.cross(qv, uv))
+
+
 class Splats(NamedTuple):
     """Preprocessed per-gaussian render state (the analogue of the CUDA
     GeometryState buffers, rasterizer_impl.h:23-40)."""
@@ -145,16 +155,20 @@ def preprocess_gaussians(
     u2 = jnp.cross(dirn, u1)
 
     # --- cov3D -> projected 2x2 cov (computeCov2D_lidar) ---
-    # T = R_v2w @ [u1|u2]; cov_ab = u_a_world^T Sigma_w u_b_world, which
-    # equals u_a_view^T (R Sigma R^T) u_b_view. We project in view space.
-    cov3d_w = build_cov3d(scales, quats)                          # [P,3,3]
-    cov3d_v = jnp.einsum("ij,pjk,lk->pil", w2s_rot, cov3d_w, w2s_rot, precision=hi)
-    su1 = jnp.einsum("pij,pj->pi", cov3d_v, u1, precision=hi)
-    su2 = jnp.einsum("pij,pj->pi", cov3d_v, u2, precision=hi)
+    # cov_ab = u_a_view^T (W Sigma_w W^T) u_b_view with W = w2s_rot and
+    # Sigma_w = R S^2 R^T, i.e. cov_ab = (S R^T W^T u_a) . (S R^T W^T u_b).
+    # Rotating u1/u2 into the gaussian's local frame via the quaternion
+    # needs no [P,3,3] covariance matrices (~5x fewer flops + intermediates
+    # than the einsum chain; same math as computeCov2D_lidar,
+    # forward.cu:146-169).
+    u1w = jnp.matmul(u1, w2s_rot, precision=hi)                   # W^T u1
+    u2w = jnp.matmul(u2, w2s_rot, precision=hi)
+    v1 = quat_rotate_inv(quats, u1w) * scales                     # S R^T W^T u1
+    v2 = quat_rotate_inv(quats, u2w) * scales
     inv_d2 = 1.0 / jnp.maximum(dist * dist, 1e-20)
-    a = (jnp.sum(u1 * su1, -1) + cfg.lowpass) * inv_d2
-    b = (jnp.sum(u1 * su2, -1)) * inv_d2
-    c = (jnp.sum(u2 * su2, -1) + cfg.lowpass) * inv_d2
+    a = (jnp.sum(v1 * v1, -1) + cfg.lowpass) * inv_d2
+    b = (jnp.sum(v1 * v2, -1)) * inv_d2
+    c = (jnp.sum(v2 * v2, -1) + cfg.lowpass) * inv_d2
 
     det = a * c - b * b
     valid = valid & (det > 0.0)

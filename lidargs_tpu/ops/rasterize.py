@@ -90,9 +90,14 @@ def bin_instances(rect, center, valid, cfg: RasterConfig, gx: int, gy: int,
     cap = cfg.max_tiles_per_gaussian
     x0, y0, wc, hc, _clipped = _tile_rects(rect, center, valid, cfg, gx, gy)
 
+    # traced-divisor int div/mod is ~10x a float multiply on the VPU; the
+    # float reciprocal floor is exact for j < 64, wc <= 32 (verified
+    # exhaustively: values are multiples of 1/wc, spacing >= 1/32 >> 2 ulp)
+    assert cap <= 64
     j = jnp.arange(cap, dtype=jnp.int32)[None, :]
-    jx = j % wc[:, None]
-    jy = j // wc[:, None]
+    inv_wc = 1.0 / wc.astype(jnp.float32)[:, None]
+    jy = jnp.floor(j.astype(jnp.float32) * inv_wc + 0.01).astype(jnp.int32)
+    jx = j - jy * wc[:, None]
     inst_ok = (jy < hc[:, None]) & valid[:, None]
     tile = ((y0[:, None] + jy) * gx + (x0[:, None] + jx)).astype(jnp.int32) - lo
     inst_ok = inst_ok & (tile >= 0) & (tile < Tl)
