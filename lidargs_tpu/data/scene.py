@@ -43,7 +43,11 @@ class Scene:
         cfg: TrainConfig,
         load_iteration: Optional[int] = None,
         seed: int = 0,
+        init_ply: Optional[str] = None,
     ) -> "Scene":
+        """`init_ply`: initialize the anchor cloud from a saved PLY instead
+        of the fused back-projected frames — the --warmup second-phase
+        restart (train.py:635-638 / scene/__init__.py ply_path)."""
         data = read_lidar_scene(
             cfg.data.source_path,
             data_label=cfg.data.data_label,
@@ -55,13 +59,22 @@ class Scene:
         if load_iteration is not None:
             field = cls._load_field(cfg.model_path, load_iteration, cfg.model)
         else:
-            write_point_cloud(
-                os.path.join(cfg.model_path, "points3d.ply"), data.init_points
-            )
+            if init_ply is not None:
+                from .ply import read_anchor_model, read_point_cloud
+
+                try:
+                    init_points = read_anchor_model(init_ply)[0]
+                except Exception:
+                    init_points = read_point_cloud(init_ply)
+            else:
+                init_points = data.init_points
+                write_point_cloud(
+                    os.path.join(cfg.model_path, "points3d.ply"), init_points
+                )
             field = init_field_from_points(
                 jax.random.key(cfg.seed),
                 cfg.model,
-                data.init_points,
+                init_points,
                 num_cameras=len(data.train_frames),
             )
         return cls(data=data, field=field, model_path=cfg.model_path)

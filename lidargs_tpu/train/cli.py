@@ -64,6 +64,16 @@ def build_config(argv=None):
                    help="save per-frame renders as npy (raydrop refiner input)")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--init_ply", default=None,
+                   help="initialize anchors from this PLY instead of the "
+                        "fused frames (used by --warmup phase 2)")
+    p.add_argument("--warmup", action="store_true",
+                   help="two-phase restart: train, then re-train from the "
+                        "saved PLY (train.py:635-638)")
+    p.add_argument("--load_iteration", type=int, default=None,
+                   help="eval-only: load a saved snapshot, run the metric "
+                        "sweep + FPS (render_sets/evaluate equivalent, "
+                        "train.py:394-551), save test renders as PNGs")
     p.add_argument("--tensorboard", action="store_true",
                    help="log scalars/images to <model_path>/tb")
     p.add_argument("--profile_steps", type=int, default=0,
@@ -172,7 +182,8 @@ def main(argv=None):
     from ..models.field import AnchorField
     from .trainer import Trainer, init_train_state
 
-    scene = Scene.create(cfg)
+    scene = Scene.create(cfg, load_iteration=args.load_iteration,
+                         init_ply=args.init_ply)
     logger.info(
         f"scene: {len(scene.data.train_frames)} train / "
         f"{len(scene.data.test_frames)} test frames, "
@@ -182,6 +193,14 @@ def main(argv=None):
     trainer = Trainer(mcfg=cfg.model, ocfg=cfg.opt, rcfg=cfg.raster,
                       bg=jnp.zeros((cfg.model.color_channel,), jnp.float32))
     state = init_train_state(scene.field, cfg.model)
+
+    if args.load_iteration is not None:
+        # eval-only: metric sweep + FPS + saved PNG renders
+        run_eval(scene, state, trainer, cfg, logger,
+                 compute_chamfer=args.eval_chamfer)
+        measure_fps(scene, state, trainer, logger)
+        render_sets(scene, state, trainer, cfg, logger)
+        return state
     first_iter = 0
     if args.start_checkpoint is not None:
         state = scene.load_train_state(args.start_checkpoint, like=state)
@@ -257,7 +276,42 @@ def main(argv=None):
     if args.dump_renders:
         dump_renders(scene, state, trainer, cfg, logger)
     tb.close()
+    if args.warmup:
+        # two-phase restart (train.py:635-638): re-train with the saved PLY
+        # as the init cloud instead of the raw back-projected frames
+        logger.info("warmup finished — rebooting from the saved point cloud")
+        argv2 = [a for a in (argv or sys.argv[1:]) if a != "--warmup"]
+        ply = os.path.join(cfg.model_path, "point_cloud",
+                           f"iteration_{cfg.opt.iterations}", "point_cloud.ply")
+        argv2 += ["--init_ply", ply]
+        return main(argv2)
     return state
+
+
+def render_sets(scene, state, trainer, cfg, logger):
+    """Save test-set renders as PNGs (render_set, train.py:394-468):
+    intensity, raydrop mask, turbo depth per frame."""
+    import jax
+
+    from ..models.field import render_field
+    from ..utils.visualize import depth_to_rgb, intensity_to_rgb, save_image
+
+    render = jax.jit(
+        lambda p, v, f: render_field(p, v, f, trainer.mcfg, trainer.rcfg, trainer.bg)[0]
+    )
+    out_dir = os.path.join(cfg.model_path, "test_renders")
+    os.makedirs(out_dir, exist_ok=True)
+    for i, fr in enumerate(scene.data.test_frames):
+        out = render(state.params, state.valid, fr)
+        inten = np.asarray(out.color[0])
+        drop = (np.asarray(out.color[1]) > 0.5).astype(np.float32)
+        save_image(os.path.join(out_dir, f"{i:03d}_intensity.png"),
+                   intensity_to_rgb(inten * drop))
+        save_image(os.path.join(out_dir, f"{i:03d}_depth.png"),
+                   depth_to_rgb(np.asarray(out.depth) * drop))
+        save_image(os.path.join(out_dir, f"{i:03d}_gt_intensity.png"),
+                   intensity_to_rgb(np.asarray(fr.gt_image[1] * fr.gt_image[0])))
+    logger.info(f"saved test renders to {out_dir}")
 
 
 def dump_renders(scene, state, trainer, cfg, logger):

@@ -165,3 +165,44 @@ def test_cli_end_to_end(tmp_path):
     want = np.asarray(state.params["anchor"])[np.asarray(state.valid)]
     np.testing.assert_allclose(np.sort(got, axis=0), np.sort(want, axis=0),
                                atol=1e-5)
+
+
+def test_cli_warmup_and_eval_only(tmp_path):
+    """--warmup two-phase restart (train.py:635-638) + --load_iteration
+    eval-only mode with saved PNG renders (render_sets equivalent)."""
+    from lidargs_tpu.train import cli
+
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    _make_dataset(data_dir)
+    model_dir = str(tmp_path / "out")
+
+    argv = [
+        "-s", data_dir, "-m", model_dir,
+        "--iterations", "10",
+        "--voxel_size", "8.0",
+        "--anchor_capacity", "2048",
+        "--max_visible", "4096",
+        "--tile_capacity", "64",
+        "--test_iterations",            # none
+        "--save_iterations", "10",
+        "--log_every", "10",
+        "--warmup",
+    ]
+    state = cli.main(argv)
+    assert int(state.step) >= 10
+    # phase 2 re-initialized from the saved PLY
+    log = open(os.path.join(model_dir, "outputs.log")).read()
+    assert "rebooting from the saved point cloud" in log
+
+    state2 = cli.main([
+        "-s", data_dir, "-m", model_dir,
+        "--voxel_size", "8.0",
+        "--anchor_capacity", "2048",
+        "--max_visible", "4096",
+        "--tile_capacity", "64",
+        "--load_iteration", "10",
+        "--log_every", "10",
+    ])
+    renders = os.listdir(os.path.join(model_dir, "test_renders"))
+    assert len(renders) == 4 * 3      # 4 test frames x 3 images

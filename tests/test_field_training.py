@@ -147,3 +147,54 @@ def test_render_field_improves_psnr_over_init():
     out1 = render(state.params, state.valid)
     p1 = float(psnr(out1.color[0:1] * frame.gt_image[0:1], gt_int))
     assert p1 > p0 + 2.0, (p0, p1)
+
+
+def test_featbank_and_appearance_paths():
+    """use_feat_bank + appearance embeddings: decode works, is
+    view-dependent per camera uid, and gradients reach the extra params
+    (gaussian_renderer/__init__.py:43-47,59-96)."""
+    import numpy as _np
+    import jax.random as jr
+    from lidargs_tpu.config import ModelConfig
+    from lidargs_tpu.models.field import (
+        generate_neural_gaussians, init_field_from_points,
+    )
+
+    mcfg = ModelConfig(feat_dim=8, n_offsets=2, mlp_hidden=8,
+                       anchor_capacity=512, use_feat_bank=True,
+                       appearance_dim=4)
+    rng = _np.random.default_rng(0)
+    pts = rng.uniform(-20, 20, (300, 3))
+    field = init_field_from_points(jr.key(0), mcfg, pts, voxel_size=4.0,
+                                   num_cameras=3)
+    assert "mlp_featbank" in field.params and "appearance" in field.params
+
+    cam = jnp.array([0.0, 0.0, 0.0])
+    vis = jnp.ones((512,), bool)
+
+    def dec(params, uid):
+        ng = generate_neural_gaussians(params, field.valid, vis, cam, mcfg,
+                                       cam_uid=jnp.asarray(uid))
+        return ng
+
+    ng0 = jax.jit(dec, static_argnums=1)(field.params, 0)
+    ng1 = jax.jit(dec, static_argnums=1)(field.params, 1)
+    assert bool(jnp.isfinite(ng0.feat).all())
+    # different appearance embedding -> different decoded color
+    assert float(jnp.abs(ng0.feat - ng1.feat).max()) > 1e-6
+
+    def loss(params):
+        ng = generate_neural_gaussians(params, field.valid, vis, cam, mcfg,
+                                       cam_uid=jnp.asarray(0))
+        return jnp.sum(ng.feat ** 2) + jnp.sum(ng.opacity ** 2)
+
+    # anchor features initialize to zeros (create_from_pcd), which makes the
+    # bank mixing output-independent; perturb them so the bank matters
+    params2 = dict(field.params)
+    params2["feat"] = jax.random.normal(jr.key(9), field.params["feat"].shape)
+    g = jax.jit(jax.grad(loss))(params2)
+    # tiny test MLP + raw-distance inputs can dead-ReLU the first layer;
+    # the bank must still receive gradient somewhere (l2 at minimum)
+    fb = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g["mlp_featbank"]))
+    assert fb > 0
+    assert float(jnp.abs(g["appearance"]).sum()) > 0
