@@ -64,6 +64,10 @@ def build_config(argv=None):
                    help="save per-frame renders as npy (raydrop refiner input)")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--config", default=None,
+                   help="load argument defaults from a saved cfg_args.json "
+                        "(the reference's get_combined_args, minus its "
+                        "eval() of config files, arguments/__init__.py:163-183)")
     p.add_argument("--init_ply", default=None,
                    help="initialize anchors from this PLY instead of the "
                         "fused frames (used by --warmup phase 2)")
@@ -79,6 +83,12 @@ def build_config(argv=None):
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace of N steps into "
                         "<model_path>/trace")
+    args, _ = p.parse_known_args(argv)
+    if args.config:
+        with open(args.config) as f:
+            saved = json.load(f)
+        p.set_defaults(**{k: v for k, v in saved.items()
+                          if k in {a.dest for a in p._actions}})
     args = p.parse_args(argv)
 
     # kitti default raydrop weight is 1 (train.py:164)
@@ -173,7 +183,7 @@ def main(argv=None):
     cfg, args = build_config(argv)
     logger = get_logger(cfg.model_path)
     with open(os.path.join(cfg.model_path, "cfg_args.json"), "w") as f:
-        json.dump({k: str(v) for k, v in vars(args).items()}, f, indent=2)
+        json.dump(vars(args), f, indent=2, default=str)
 
     import jax
     import jax.numpy as jnp

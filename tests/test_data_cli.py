@@ -206,3 +206,27 @@ def test_cli_warmup_and_eval_only(tmp_path):
     ])
     renders = os.listdir(os.path.join(model_dir, "test_renders"))
     assert len(renders) == 4 * 3      # 4 test frames x 3 images
+
+
+def test_cli_config_merge(tmp_path):
+    """--config loads saved cfg_args.json as defaults (get_combined_args
+    equivalent, without eval())."""
+    import json as _json
+
+    from lidargs_tpu.train import cli
+
+    cfgf = str(tmp_path / "cfg_args.json")
+    with open(cfgf, "w") as f:
+        _json.dump({"iterations": 123, "voxel_size": 2.5,
+                    "data_label": "kitti"}, f)
+    cfg, args = cli.build_config([
+        "-s", "/nonexistent", "--config", cfgf,
+    ])
+    assert cfg.opt.iterations == 123
+    assert cfg.model.voxel_size == 2.5
+    assert cfg.opt.raydrop_lambda == 1.0      # kitti default
+    # explicit flags still override the config file
+    cfg2, _ = cli.build_config([
+        "-s", "/nonexistent", "--config", cfgf, "--iterations", "7",
+    ])
+    assert cfg2.opt.iterations == 7

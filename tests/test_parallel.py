@@ -171,3 +171,25 @@ def test_sharded_render_matches_single_device():
     for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-5, rtol=2e-3)
+
+
+def test_dp_scaling_harness_runs():
+    """Scaling harness executes on the virtual CPU mesh and reports sane
+    records (CPU 'efficiency' is meaningless; this checks the harness)."""
+    from lidargs_tpu.config import ModelConfig, OptConfig, RasterConfig
+    from lidargs_tpu.parallel.scaling import measure_dp_scaling
+
+    mcfg = ModelConfig(feat_dim=8, n_offsets=2, mlp_hidden=8,
+                       anchor_capacity=512)
+    rcfg = RasterConfig(max_visible=1024, max_tiles_per_gaussian=8,
+                        tile_capacity=32, chunk=8)
+    recs = measure_dp_scaling(mcfg, RasterConfig(max_visible=1024,
+                                                 max_tiles_per_gaussian=8,
+                                                 tile_capacity=32, chunk=8),
+                              OptConfig(start_stat=10**9),
+                              H=8, W=256, n_points=1500, voxel_size=12.0,
+                              device_counts=[1, 2], steps=3, warmup=1)
+    assert [r["devices"] for r in recs] == [1, 2]
+    for r in recs:
+        assert r["rays_per_s"] > 0 and np.isfinite(r["efficiency"])
+    assert recs[0]["efficiency"] == 1.0
