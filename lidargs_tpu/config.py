@@ -54,7 +54,10 @@ class RasterConfig:
     # 1x128 lane layout), XLA scan elsewhere; "pallas" forces the kernels
     # (interpret mode off-TPU — slow, for tests); "xla" forces the scan.
     backend: str = "auto"
-    pallas_chunk: int = 32                  # instances per kernel loop step
+    # instances per kernel loop step; 128 amortizes while_loop overhead
+    # best on v5e (sweep: 16->30.9ms, 32->26.5, 64->24.7, 128->24.0 full-
+    # frame fwd); early exit still fires at chunk granularity
+    pallas_chunk: int = 128
 
     def grid_shape(self, H: int, W: int) -> Tuple[int, int]:
         return (-(-H // self.tile_h), -(-W // self.tile_w))
