@@ -390,11 +390,25 @@ def render_surfels(
 
     F = pkv.shape[1]
     inst = jnp.take(pkv, ids.reshape(-1), axis=0, mode="clip").reshape(Tn, K, F)
-    inst_valid = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
 
-    (T, _done, color, dep, nrm, _m1, _m2, dist, med) = surfel_composite(
-        inst, inst_valid, dirs, pix_x, pix_y, C, cfg
-    )
+    from .rasterize import _pix_blocks, _use_pallas
+
+    if not golden and _use_pallas(cfg, C):
+        from .pallas_surfel import surfel_composite_tiles
+
+        blk = _pix_blocks(pix_x, pix_y, dirs)
+        out16 = surfel_composite_tiles(inst, counts, blk, C, cfg)
+        color = out16[:, :C]
+        dep = out16[:, C]
+        T = out16[:, C + 1]
+        nrm = out16[:, C + 2 : C + 5]
+        med = out16[:, C + 5]
+        dist = out16[:, C + 6]
+    else:
+        inst_valid = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
+        (T, _done, color, dep, nrm, _m1, _m2, dist, med) = surfel_composite(
+            inst, inst_valid, dirs, pix_x, pix_y, C, cfg
+        )
 
     def asm1(x):  # [Tn, npix] -> [H, W]
         return x.reshape(gy, gx, th, tw).transpose(0, 2, 1, 3).reshape(

@@ -171,3 +171,33 @@ def test_render_field_surfel_end_to_end():
     assert bool(jnp.isfinite(l))
     gs = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
     assert _np.isfinite(gs) and gs > 0
+
+
+def test_surfel_pallas_matches_xla():
+    """Pallas surfel forward (interpret mode on CPU) vs the XLA scan,
+    including the auxiliary channels; gradients route through the XLA VJP."""
+    cfgx = replace(CFG, backend="xla", tile_capacity=64, pallas_chunk=8)
+    cfgp = replace(CFG, backend="pallas", tile_capacity=64, pallas_chunk=8)
+    sc, scales2 = _surfel_scene(jax.random.key(11), n=120, H=16, W=256)
+    pk = _pack(sc, scales2, cfg=cfgx)
+    bg = jnp.asarray([0.2, 0.6], jnp.float32)
+    a = jax.jit(lambda p: render_surfels(p, sc.beams, sc.W, bg, cfgx))(pk)
+    b = jax.jit(lambda p: render_surfels(p, sc.beams, sc.W, bg, cfgp))(pk)
+    cmp = lambda x, y, **kw: np.testing.assert_allclose(
+        np.asarray(x), np.asarray(y), rtol=1e-5, **kw)
+    cmp(b.color, a.color, atol=1e-5)
+    cmp(b.depth, a.depth, atol=1e-4)
+    cmp(b.normal, a.normal, atol=1e-5)
+    cmp(b.median_depth, a.median_depth, atol=1e-4)
+    cmp(b.distortion, a.distortion, atol=1e-4)
+    assert float(b.occ.max()) > 0.3
+
+    def loss(pk, cfg):
+        o = render_surfels(pk, sc.beams, sc.W, bg, cfg)
+        return (jnp.mean(o.color ** 2) + 0.1 * jnp.mean(o.depth)
+                + 0.01 * jnp.mean(o.distortion))
+
+    gx = jax.jit(jax.grad(lambda p: loss(p, cfgx)))(pk)
+    gp = jax.jit(jax.grad(lambda p: loss(p, cfgp)))(pk)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               atol=5e-5, rtol=2e-3)
