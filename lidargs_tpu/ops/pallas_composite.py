@@ -201,16 +201,14 @@ def _bwd_kernel(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
     gc = g[0:C]
     gd = g[C : C + 1]
     gT = g[C + 1 : C + 2]
-    nch = pl.cdiv(count, CH)
 
-    dinst_ref[0] = jnp.zeros((K, F), jnp.float32)
-
-    def cond(st):
-        i, T, done, Ac, Ad = st
-        return (i < nch) & (jnp.min(done) < 0.5)
-
-    def body(st):
-        i, T, done, Ac, Ad = st           # T/done at chunk ENTRY; applied
+    # STATIC trip count (K // CH chunks), every chunk stored unconditionally:
+    # dead chunks produce all-zero d_s through the `live` masks. A dynamic
+    # while_loop with early exit + pre-zeroed output miscompiles on Mosaic
+    # (out-of-bounds stores corrupting unrelated buffers — observed as -inf
+    # leaking into the *primal* loss of the surrounding jit).
+    def body(i, st):
+        T, done, Ac, Ad = st              # T/done at chunk ENTRY; applied
         s = inst_ref[0, pl.ds(i * CH, CH), :]   # prefix sums over chunks < i
         f = _chunk_fields(s, C)
         alpha, passed, gm = _alpha_pass(f, pix, count, i * CH, CH, cfg)
@@ -272,16 +270,15 @@ def _bwd_kernel(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
             [jnp.sum(wc[c], axis=0, keepdims=True) for c in range(C)], axis=0
         )
         Ad = Ad + jnp.sum(wd, axis=0, keepdims=True)
-        return (i + 1, T_new, done_new, Ac, Ad)
+        return (T_new, done_new, Ac, Ad)
 
     init = (
-        jnp.zeros((), jnp.int32),
         jnp.ones((1, LANES), jnp.float32),
         jnp.zeros((1, LANES), jnp.float32),
         jnp.zeros((C, LANES), jnp.float32),
         jnp.zeros((1, LANES), jnp.float32),
     )
-    jax.lax.while_loop(cond, body, init)
+    jax.lax.fori_loop(0, K // CH, body, init, unroll=True)
 
 
 def _fwd_call(inst, counts, pix, C: int, cfg: RasterConfig):

@@ -42,6 +42,10 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11):
     kernel = jnp.broadcast_to(w[None, None], (C_ch, 1, window_size, window_size))
 
     def conv(x):
+        # HIGHEST precision is load-bearing: the TPU default lowers convs to
+        # bf16 multiplies, whose ~0.4% error in conv(x^2) - mu^2 exceeds
+        # c2 = 9e-4, driving the SSIM denominator through zero -> +/-inf
+        # (observed as a -inf training loss once intensities approach 1).
         return jax.lax.conv_general_dilated(
             x[None],
             kernel,
@@ -49,12 +53,15 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11):
             padding="SAME",
             feature_group_count=C_ch,
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=jax.lax.Precision.HIGHEST,
         )[0]
 
     mu1, mu2 = conv(img1), conv(img2)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = conv(img1 * img1) - mu1_sq
-    s2 = conv(img2 * img2) - mu2_sq
+    # window variances are mathematically >= 0; clamp the residual float
+    # cancellation so the denominator stays positive
+    s1 = jnp.maximum(conv(img1 * img1) - mu1_sq, 0.0)
+    s2 = jnp.maximum(conv(img2 * img2) - mu2_sq, 0.0)
     s12 = conv(img1 * img2) - mu12
     c1, c2 = 0.01**2, 0.03**2
     m = ((2 * mu12 + c1) * (2 * s12 + c2)) / ((mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
