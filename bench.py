@@ -33,8 +33,12 @@ def main() -> None:
     H, W = 64, 2650
     N_ANCHORS = 60_000
     mcfg = ModelConfig(anchor_capacity=65_536)
+    # max_visible=2^17: with every tile saturated at tile_capacity=384 depth-
+    # sorted instances, gaussians beyond the nearest ~131k never survive the
+    # per-tile cut; halving the binning sort this way is worth +44% FPS at
+    # mean |err| 4e-6 vs the 2^18 render (measured, see _bench notes).
     rcfg = RasterConfig(
-        max_visible=2 ** 18,
+        max_visible=2 ** 17,
         max_tiles_per_gaussian=16,
         tile_capacity=384,
         chunk=16,
