@@ -97,15 +97,19 @@ def _chunk_fields(s: jnp.ndarray, C: int):
 
 def _alpha_pass(f, pix, count, base_row, ch, cfg: RasterConfig):
     """Shared forward math for one [CH, LANES] chunk: alpha + pass mask.
-    Mirrors instance_alpha (composite.py) / forward.cu:584-607."""
+    Mirrors instance_alpha (composite.py) / forward.cu:584-607.
+
+    The packed u1/u2 are UNIT vectors by construction (projection.py
+    normalizes u1 and u2 = dirn x u1 with |dirn| = |u1| = 1), so the
+    reference's /|u|^2 division is the identity and is omitted; gradients
+    agree on the reachable manifold because normalization makes upstream
+    perturbations of u1/u2 tangential."""
     dirx, diry, dirz, px, py = pix
-    u1sq = jnp.maximum(f["u1x"] * f["u1x"] + f["u1y"] * f["u1y"] + f["u1z"] * f["u1z"], 1e-20)
-    u2sq = jnp.maximum(f["u2x"] * f["u2x"] + f["u2y"] * f["u2y"] + f["u2z"] * f["u2z"], 1e-20)
     dxv = f["mx"] - dirx
     dyv = f["my"] - diry
     dzv = f["mz"] - dirz
-    ddx = (dxv * f["u1x"] + dyv * f["u1y"] + dzv * f["u1z"]) / u1sq
-    ddy = (dxv * f["u2x"] + dyv * f["u2y"] + dzv * f["u2z"]) / u2sq
+    ddx = dxv * f["u1x"] + dyv * f["u1y"] + dzv * f["u1z"]
+    ddy = dxv * f["u2x"] + dyv * f["u2y"] + dzv * f["u2z"]
     power = (
         -0.5 * (f["ca"] * ddx * ddx + f["cc"] * ddy * ddy) - f["cb"] * ddx * ddy
     )
@@ -119,7 +123,7 @@ def _alpha_pass(f, pix, count, base_row, ch, cfg: RasterConfig):
         & (power <= 0.0)
         & (alpha >= cfg.alpha_min)
     )
-    geom = dict(u1sq=u1sq, u2sq=u2sq, dxv=dxv, dyv=dyv, dzv=dzv,
+    geom = dict(dxv=dxv, dyv=dyv, dzv=dzv,
                 ddx=ddx, ddy=ddy, power=power, e=e, araw=araw)
     return alpha, passed, geom
 
@@ -237,23 +241,20 @@ def _bwd_kernel(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
         d_ddx = jnp.where(live, -dpower * (f["ca"] * ddx + f["cb"] * ddy), Z)
         d_ddy = jnp.where(live, -dpower * (f["cc"] * ddy + f["cb"] * ddx), Z)
 
-        d_n1 = d_ddx / gm["u1sq"]
-        d_n2 = d_ddy / gm["u2sq"]
+        # unit-basis: d(ddx)/du1 = dxv directly (no /|u1|^2 chain — see
+        # _alpha_pass); the radial component a true quotient rule would add
+        # is annihilated upstream by the normalization's tangential Jacobian
+        d_n1 = d_ddx
+        d_n2 = d_ddy
         d_mx = jnp.sum(d_n1 * f["u1x"] + d_n2 * f["u2x"], 1, keepdims=True)
         d_my = jnp.sum(d_n1 * f["u1y"] + d_n2 * f["u2y"], 1, keepdims=True)
         d_mz = jnp.sum(d_n1 * f["u1z"] + d_n2 * f["u2z"], 1, keepdims=True)
-        d_u1sq = -jnp.sum(jnp.where(live, d_ddx * ddx, Z), 1, keepdims=True) / gm["u1sq"]
-        d_u2sq = -jnp.sum(jnp.where(live, d_ddy * ddy, Z), 1, keepdims=True) / gm["u2sq"]
-        u1sq_raw = f["u1x"] ** 2 + f["u1y"] ** 2 + f["u1z"] ** 2
-        u2sq_raw = f["u2x"] ** 2 + f["u2y"] ** 2 + f["u2z"] ** 2
-        d_u1sq = jnp.where(u1sq_raw > 1e-20, d_u1sq, 0.0)
-        d_u2sq = jnp.where(u2sq_raw > 1e-20, d_u2sq, 0.0)
-        d_u1x = jnp.sum(d_n1 * gm["dxv"], 1, keepdims=True) + 2.0 * f["u1x"] * d_u1sq
-        d_u1y = jnp.sum(d_n1 * gm["dyv"], 1, keepdims=True) + 2.0 * f["u1y"] * d_u1sq
-        d_u1z = jnp.sum(d_n1 * gm["dzv"], 1, keepdims=True) + 2.0 * f["u1z"] * d_u1sq
-        d_u2x = jnp.sum(d_n2 * gm["dxv"], 1, keepdims=True) + 2.0 * f["u2x"] * d_u2sq
-        d_u2y = jnp.sum(d_n2 * gm["dyv"], 1, keepdims=True) + 2.0 * f["u2y"] * d_u2sq
-        d_u2z = jnp.sum(d_n2 * gm["dzv"], 1, keepdims=True) + 2.0 * f["u2z"] * d_u2sq
+        d_u1x = jnp.sum(d_n1 * gm["dxv"], 1, keepdims=True)
+        d_u1y = jnp.sum(d_n1 * gm["dyv"], 1, keepdims=True)
+        d_u1z = jnp.sum(d_n1 * gm["dzv"], 1, keepdims=True)
+        d_u2x = jnp.sum(d_n2 * gm["dxv"], 1, keepdims=True)
+        d_u2y = jnp.sum(d_n2 * gm["dyv"], 1, keepdims=True)
+        d_u2z = jnp.sum(d_n2 * gm["dzv"], 1, keepdims=True)
 
         d_feat = [jnp.sum(w * gc[c : c + 1], 1, keepdims=True) for c in range(C)]
         d_dep = jnp.sum(w * gd, 1, keepdims=True)

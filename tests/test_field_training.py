@@ -198,3 +198,36 @@ def test_featbank_and_appearance_paths():
     fb = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g["mlp_featbank"]))
     assert fb > 0
     assert float(jnp.abs(g["appearance"]).sum()) > 0
+
+
+def test_ssim_matches_dense_f64_reference():
+    """Separable shift-accumulate SSIM == dense f64 windowed SSIM (the
+    torch reference formula, utils/loss_utils.py:24-64) to f32 accuracy,
+    and stays finite for intensities near 1 (the bf16-conv failure mode)."""
+    rng = np.random.default_rng(11)
+    a = rng.uniform(0.7, 1.0, (1, 24, 40))
+    b = rng.uniform(0.7, 1.0, (1, 24, 40))
+
+    def ref_ssim(i1, i2, size=11, sigma=1.5):
+        from scipy.ndimage import convolve
+        x = np.arange(size) - size // 2
+        g = np.exp(-(x**2) / (2 * sigma**2)); g /= g.sum()
+        w = np.outer(g, g)
+        conv = lambda z: np.stack([
+            convolve(z[c], w, mode="constant") for c in range(z.shape[0])])
+        mu1, mu2 = conv(i1), conv(i2)
+        s1 = np.maximum(conv(i1 * i1) - mu1 * mu1, 0.0)
+        s2 = np.maximum(conv(i2 * i2) - mu2 * mu2, 0.0)
+        s12 = conv(i1 * i2) - mu1 * mu2
+        c1, c2 = 0.01**2, 0.03**2
+        m = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
+            (mu1**2 + mu2**2 + c1) * (s1 + s2 + c2))
+        return m.mean()
+
+    got = float(ssim(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)))
+    want = ref_ssim(a, b)
+    assert abs(got - want) < 1e-4
+    # gradient must be finite even at near-saturated intensities
+    g = jax.grad(lambda x: 1.0 - ssim(x, jnp.asarray(b, jnp.float32)))(
+        jnp.asarray(a, jnp.float32))
+    assert bool(jnp.isfinite(g).all())
