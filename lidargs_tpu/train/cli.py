@@ -55,6 +55,9 @@ def build_config(argv=None):
     p.add_argument("--max_visible", type=int, default=2**18)
     p.add_argument("--tile_capacity", type=int, default=384)
     p.add_argument("--raydrop_lambda", type=float, default=None)
+    p.add_argument("--depth_min", type=float, default=None,
+                   help="depth-metric lower clamp (default: 5 for waymo, "
+                        "1 otherwise, arguments/__init__.py:158)")
     p.add_argument("--test_iterations", type=int, nargs="*", default=None)
     p.add_argument("--save_iterations", type=int, nargs="*", default=None)
     p.add_argument("--checkpoint_iterations", type=int, nargs="*", default=[])
@@ -95,7 +98,9 @@ def build_config(argv=None):
     rd_lambda = args.raydrop_lambda
     if rd_lambda is None:
         rd_lambda = 10.0 if args.data_label == "waymo" else 1.0
-    depth_min = 5.0 if args.data_label == "waymo" else 1.0
+    depth_min = args.depth_min
+    if depth_min is None:
+        depth_min = 5.0 if args.data_label == "waymo" else 1.0
 
     cfg = TrainConfig(
         model=ModelConfig(voxel_size=args.voxel_size,
