@@ -139,6 +139,13 @@ class OptConfig:
     depth_max: float = 80.0
     depth_min: float = 5.0                  # kitti 1 / waymo 5
     adam_eps: float = 1e-15
+    # surfel (2DGS) regularizers — net-new (the reference's surfel training
+    # glue is unreleased); weights/gating follow the 2DGS paper scaled to
+    # the 10k-iteration default schedule
+    dist_lambda: float = 100.0
+    normal_lambda: float = 0.05
+    dist_from: int = 1000
+    normal_from: int = 2000
 
 
 @dataclass(frozen=True)

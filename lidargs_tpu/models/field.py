@@ -281,6 +281,7 @@ def render_field_surfel(
     mcfg: ModelConfig,
     rcfg: RasterConfig,
     bg: jnp.ndarray,
+    mean_proxy: Optional[jnp.ndarray] = None,
 ):
     """Surfel (2DGS) render path: the same Neural Gaussian Field decode, but
     the first two decoded covariance scales parameterize a 2D surfel whose
@@ -294,8 +295,9 @@ def render_field_surfel(
     ng = generate_neural_gaussians(
         params, valid, anchor_visible, frame.center, mcfg, cam_uid=frame.uid
     )
+    xyz = ng.xyz if mean_proxy is None else ng.xyz + mean_proxy
     pk = preprocess_surfels(
-        ng.xyz, ng.scaling[:, :2], ng.rot, ng.opacity, ng.feat, ng.mask,
+        xyz, ng.scaling[:, :2], ng.rot, ng.opacity, ng.feat, ng.mask,
         frame.w2s_rot, frame.w2s_trans, frame.beams, frame.W, rcfg,
     )
     out = render_surfels(pk, frame.beams, frame.W, bg, rcfg, C=ng.feat.shape[-1])

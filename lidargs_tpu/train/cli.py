@@ -55,6 +55,11 @@ def build_config(argv=None):
     p.add_argument("--max_visible", type=int, default=2**18)
     p.add_argument("--tile_capacity", type=int, default=384)
     p.add_argument("--raydrop_lambda", type=float, default=None)
+    p.add_argument("--surfel", action="store_true",
+                   help="train/render through the 2DGS surfel rasterizer "
+                        "with distortion + normal-consistency regularizers "
+                        "(the reference ships the surfel kernels but no "
+                        "training glue, readme.md:42)")
     p.add_argument("--depth_min", type=float, default=None,
                    help="depth-metric lower clamp (default: 5 for waymo, "
                         "1 otherwise, arguments/__init__.py:158)")
@@ -130,11 +135,10 @@ def run_eval(scene, state, trainer, cfg, logger, compute_chamfer=False):
     import jax
     import jax.numpy as jnp
 
-    from ..models.field import render_field
     from .metrics import evaluate_frame, mean_metrics
 
     render = jax.jit(
-        lambda p, v, f: render_field(p, v, f, trainer.mcfg, trainer.rcfg, trainer.bg)[0]
+        lambda p, v, f: trainer.render(p, v, f)
     )
     results = {}
     for name, frames in (("test", scene.data.test_frames),
@@ -167,10 +171,9 @@ def measure_fps(scene, state, trainer, logger, warmup: int = 5):
     with device sync, mean of 1/t excluding warmup frames."""
     import jax
 
-    from ..models.field import render_field
 
     render = jax.jit(
-        lambda p, v, f: render_field(p, v, f, trainer.mcfg, trainer.rcfg, trainer.bg)[0]
+        lambda p, v, f: trainer.render(p, v, f)
     )
     frames = scene.data.train_frames + scene.data.test_frames
     ts = []
@@ -205,7 +208,8 @@ def main(argv=None):
         f"{int(scene.field.valid.sum())} anchors, voxel {scene.field.voxel_size:.4f}"
     )
 
-    trainer = Trainer(mcfg=cfg.model, ocfg=cfg.opt, rcfg=cfg.raster,
+    trainer = Trainer(variant="surfel" if args.surfel else "beam",
+                      mcfg=cfg.model, ocfg=cfg.opt, rcfg=cfg.raster,
                       bg=jnp.zeros((cfg.model.color_channel,), jnp.float32))
     state = init_train_state(scene.field, cfg.model)
 
@@ -308,11 +312,10 @@ def render_sets(scene, state, trainer, cfg, logger):
     intensity, raydrop mask, turbo depth per frame."""
     import jax
 
-    from ..models.field import render_field
     from ..utils.visualize import depth_to_rgb, intensity_to_rgb, save_image
 
     render = jax.jit(
-        lambda p, v, f: render_field(p, v, f, trainer.mcfg, trainer.rcfg, trainer.bg)[0]
+        lambda p, v, f: trainer.render(p, v, f)
     )
     out_dir = os.path.join(cfg.model_path, "test_renders")
     os.makedirs(out_dir, exist_ok=True)
@@ -334,10 +337,9 @@ def dump_renders(scene, state, trainer, cfg, logger):
     the offline raydrop refiner (scene/extre_train_raydrop.py:68-117)."""
     import jax
 
-    from ..models.field import render_field
 
     render = jax.jit(
-        lambda p, v, f: render_field(p, v, f, trainer.mcfg, trainer.rcfg, trainer.bg)[0]
+        lambda p, v, f: trainer.render(p, v, f)
     )
     out_dir = os.path.join(cfg.model_path, "renders")
     os.makedirs(out_dir, exist_ok=True)

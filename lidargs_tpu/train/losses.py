@@ -150,6 +150,54 @@ def lidar_losses(
 
 
 # ---------------------------------------------------------------------------
+# surfel (2DGS) regularizers — the reference's surfel rasterizer computes the
+# distortion / normal / median-depth channels (surfel forward.cu:495-543) but
+# its training glue was never released; weights follow the 2DGS paper.
+# ---------------------------------------------------------------------------
+
+def depth_normals(depth: jnp.ndarray, beams: jnp.ndarray, W: int) -> jnp.ndarray:
+    """Differentiable surface normals from a range image: back-project each
+    pixel along its beam ray, cross finite differences. Returns [3, H, W]
+    (unnormalized where neighbors are missing)."""
+    H = beams.shape[0]
+    rows = jnp.arange(H)[:, None] * jnp.ones((1, depth.shape[1]), jnp.int32)
+    cols = jnp.arange(depth.shape[1])[None, :] * jnp.ones((H, 1), jnp.int32)
+    alp = beams[H - 1 - rows]
+    beta = -(cols.astype(jnp.float32) - W / 2.0) / W * 2.0 * jnp.pi
+    dirs = jnp.stack(
+        [jnp.cos(alp) * jnp.cos(beta), jnp.cos(alp) * jnp.sin(beta), jnp.sin(alp)], 0
+    )
+    pts = dirs * depth[None]                               # [3,H,W]
+    dc = jnp.diff(pts, axis=2, append=pts[:, :, -1:])
+    dr = jnp.diff(pts, axis=1, append=pts[:, -1:, :])
+    n = jnp.cross(dc, dr, axis=0)
+    # double-where: sqrt at 0 has a NaN gradient even though the rows are
+    # masked downstream (empty pixels have zero cross products)
+    nn2 = jnp.sum(n * n, axis=0, keepdims=True)
+    ok = nn2 > 1e-16
+    return jnp.where(ok, n, 0.0) / jnp.sqrt(jnp.where(ok, nn2, 1.0))
+
+
+def normal_consistency_loss(
+    normal: jnp.ndarray,        # [3,H,W] rendered surfel normal (world frame)
+    depth: jnp.ndarray,         # [H,W] rendered depth
+    beams: jnp.ndarray,
+    W: int,
+    hit_mask: jnp.ndarray,      # [H,W] pixels that count
+) -> jnp.ndarray:
+    """2DGS normal-consistency: 1 - n_render . n_depth over hit pixels. The
+    depth normal is computed in the sensor frame; `normal` must be in the
+    same frame (render_surfels emits sensor-frame normals)."""
+    nd = depth_normals(depth, beams, W)
+    rn2 = jnp.sum(normal * normal, axis=0, keepdims=True)
+    rok = rn2 > 1e-16
+    nr = jnp.where(rok, normal, 0.0) / jnp.sqrt(jnp.where(rok, rn2, 1.0))
+    cos = jnp.sum(nr * nd, axis=0)
+    m = hit_mask * (depth > 0)
+    return jnp.sum((1.0 - jnp.abs(cos)) * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+# ---------------------------------------------------------------------------
 # ray-drop segmentation losses (defined in the reference but unused by its
 # train loop: raydrop_lossf, utils/loss_utils.py:66-101 + lovasz_softmax.py)
 # ---------------------------------------------------------------------------

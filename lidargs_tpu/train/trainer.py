@@ -75,25 +75,53 @@ def train_step(
     rcfg: RasterConfig,
     ocfg: OptConfig,
     update_stats: bool = True,
+    variant: str = "beam",
 ):
     """One optimization step. Pure function of (state, frame); jit with
-    static cfgs via functools.partial or Trainer below."""
+    static cfgs via functools.partial or Trainer below.
+
+    variant="surfel" trains through the 2DGS surfel rasterizer with the
+    2DGS distortion + normal-consistency regularizers (the reference's
+    surfel kernels compute those channels, surfel forward.cu:495-543, but
+    its training glue was never released — weights follow the 2DGS paper,
+    iteration-gated via ocfg.dist_from/normal_from)."""
     C = state.params["anchor"].shape[0]
     k = mcfg.n_offsets
     proxy0 = jnp.zeros((C * k, 3), jnp.float32)
 
     def loss_fn(params, proxy):
-        out, ng, anchor_vis = render_field(
-            params, state.valid, frame, mcfg, rcfg, bg, sphere_proxy=proxy
-        )
+        if variant == "surfel":
+            from ..models.field import render_field_surfel
+            from .losses import normal_consistency_loss
+
+            out, ng, anchor_vis = render_field_surfel(
+                params, state.valid, frame, mcfg, rcfg, bg, mean_proxy=proxy
+            )
+        else:
+            out, ng, anchor_vis = render_field(
+                params, state.valid, frame, mcfg, rcfg, bg, sphere_proxy=proxy
+            )
         lt = lidar_losses(
-            out.color, out.depth, frame.gt_image, ng.scaling, ng.mask,
+            out.color, out.depth, frame.gt_image, ng.scaling[:, :2]
+            if variant == "surfel" else ng.scaling, ng.mask,
             lambda_dssim=ocfg.lambda_dssim,
             raydrop_lambda=ocfg.raydrop_lambda,
             scale_reg=ocfg.scale_reg,
             grad_clip_x=ocfg.grad_clip_x,
             pixel_mask=frame.pixel_mask,
         )
+        if variant == "surfel":
+            it = state.step
+            dist_w = jnp.where(it >= ocfg.dist_from, ocfg.dist_lambda, 0.0)
+            norm_w = jnp.where(it >= ocfg.normal_from, ocfg.normal_lambda, 0.0)
+            hit = frame.gt_image[0]
+            if frame.pixel_mask is not None:
+                hit = hit * frame.pixel_mask
+            dist_loss = jnp.sum(out.distortion * hit) / jnp.maximum(jnp.sum(hit), 1.0)
+            nc_loss = normal_consistency_loss(
+                out.normal, out.depth, frame.beams, frame.W, hit
+            )
+            lt = lt._replace(total=lt.total + dist_w * dist_loss + norm_w * nc_loss)
         return lt.total, (out, ng, anchor_vis, lt)
 
     (_, (out, ng, anchor_vis, lt)), (grads, proxy_grad) = jax.value_and_grad(
@@ -150,12 +178,14 @@ class Trainer:
     ocfg: OptConfig
     rcfg: RasterConfig
     bg: jnp.ndarray
+    variant: str = "beam"                   # "beam" | "surfel"
 
     def __post_init__(self):
         self._step = jax.jit(
             partial(
                 train_step,
                 bg=self.bg, mcfg=self.mcfg, rcfg=self.rcfg, ocfg=self.ocfg,
+                variant=self.variant,
             ),
             donate_argnums=(0,),
         )
@@ -163,10 +193,22 @@ class Trainer:
             partial(
                 train_step,
                 bg=self.bg, mcfg=self.mcfg, rcfg=self.rcfg, ocfg=self.ocfg,
-                update_stats=False,
+                update_stats=False, variant=self.variant,
             ),
             donate_argnums=(0,),
         )
+
+    def render(self, params, valid, frame):
+        """Variant-dispatched forward render (color/depth/occ interface)."""
+        if self.variant == "surfel":
+            from ..models.field import render_field_surfel
+
+            return render_field_surfel(
+                params, valid, frame, self.mcfg, self.rcfg, self.bg
+            )[0]
+        return render_field(
+            params, valid, frame, self.mcfg, self.rcfg, self.bg
+        )[0]
 
     def step(self, state: TrainState, frame: LidarFrame, iteration: int):
         collect = (
