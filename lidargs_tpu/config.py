@@ -58,6 +58,11 @@ class RasterConfig:
     # best on v5e (sweep: 16->30.9ms, 32->26.5, 64->24.7, 128->24.0 full-
     # frame fwd); early exit still fires at chunk granularity
     pallas_chunk: int = 128
+    # tiles per pallas grid step (each keeps its own trip count + early
+    # exit; tile count padded up to a multiple). Measured neutral on v5e
+    # (15.98/15.89/15.90/16.68 ms at 1/2/4/8) — Mosaic's grid pipelining
+    # already hides per-step setup, so the kernel is VPU-compute-bound
+    pallas_tiles_per_block: int = 1
 
     def grid_shape(self, H: int, W: int) -> Tuple[int, int]:
         return (-(-H // self.tile_h), -(-W // self.tile_w))

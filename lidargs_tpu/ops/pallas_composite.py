@@ -153,55 +153,64 @@ def _chunk_weights(alpha, passed, T, done, cfg: RasterConfig, ch: int):
     return w, applied, P, T_new, done_new
 
 
-def _fwd_kernel(counts_ref, inst_ref, pix_ref, out_ref, *, C, CH, cfg):
-    count = counts_ref[pl.program_id(0)]
-    pixb = pix_ref[0]
-    pix = (pixb[0:1], pixb[1:2], pixb[2:3], pixb[3:4], pixb[4:5])
-    nch = pl.cdiv(count, CH)
+def _fwd_kernel(counts_ref, inst_ref, pix_ref, out_ref, *, C, CH, TB, cfg):
+    for b in range(TB):               # TB tiles per grid step (unrolled);
+        count = counts_ref[pl.program_id(0) * TB + b]   # own trip count +
+        pixb = pix_ref[b]                               # early exit each
+        pix = (pixb[0:1], pixb[1:2], pixb[2:3], pixb[3:4], pixb[4:5])
+        nch = pl.cdiv(count, CH)
 
-    def cond(st):
-        i, T, done, cacc, dacc = st
-        return (i < nch) & (jnp.min(done) < 0.5)
+        def cond(st):
+            i, T, done, cacc, dacc = st
+            return (i < nch) & (jnp.min(done) < 0.5)
 
-    def body(st):
-        i, T, done, cacc, dacc = st
-        s = inst_ref[0, pl.ds(i * CH, CH), :]
-        f = _chunk_fields(s, C)
-        alpha, passed, _ = _alpha_pass(f, pix, count, i * CH, CH, cfg)
-        w, applied, _P, T, done = _chunk_weights(alpha, passed, T, done, cfg, CH)
-        cacc = cacc + jnp.concatenate(
-            [jnp.sum(w * f["feat"][c], axis=0, keepdims=True) for c in range(C)], axis=0
+        def body(st):
+            i, T, done, cacc, dacc = st
+            s = inst_ref[b, pl.ds(i * CH, CH), :]
+            f = _chunk_fields(s, C)
+            alpha, passed, _ = _alpha_pass(f, pix, count, i * CH, CH, cfg)
+            w, applied, _P, T, done = _chunk_weights(alpha, passed, T, done, cfg, CH)
+            cacc = cacc + jnp.concatenate(
+                [jnp.sum(w * f["feat"][c], axis=0, keepdims=True) for c in range(C)],
+                axis=0,
+            )
+            dacc = dacc + jnp.sum(w * f["dep"], axis=0, keepdims=True)
+            return (i + 1, T, done, cacc, dacc)
+
+        init = (
+            jnp.zeros((), jnp.int32),
+            jnp.ones((1, LANES), jnp.float32),
+            jnp.zeros((1, LANES), jnp.float32),
+            jnp.zeros((C, LANES), jnp.float32),
+            jnp.zeros((1, LANES), jnp.float32),
         )
-        dacc = dacc + jnp.sum(w * f["dep"], axis=0, keepdims=True)
-        return (i + 1, T, done, cacc, dacc)
-
-    init = (
-        jnp.zeros((), jnp.int32),
-        jnp.ones((1, LANES), jnp.float32),
-        jnp.zeros((1, LANES), jnp.float32),
-        jnp.zeros((C, LANES), jnp.float32),
-        jnp.zeros((1, LANES), jnp.float32),
-    )
-    _, T, _done, cacc, dacc = jax.lax.while_loop(cond, body, init)
-    out_ref[0] = jnp.concatenate(
-        [cacc, dacc, T, jnp.zeros((OUT_ROWS - C - 2, LANES), jnp.float32)], axis=0
-    )
+        _, T, _done, cacc, dacc = jax.lax.while_loop(cond, body, init)
+        out_ref[b] = jnp.concatenate(
+            [cacc, dacc, T, jnp.zeros((OUT_ROWS - C - 2, LANES), jnp.float32)], axis=0
+        )
 
 
 def _bwd_kernel(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
-                *, C, CH, K, F, cfg):
+                *, C, CH, K, F, TB, cfg):
     """Single forward-order pass: the chunk-entry transmittance IS the
     running carry, and every suffix term is `total - running prefix`
     (totals = the saved outputs) — no replay pass, unlike the CUDA
     backward's saved-final_T back-to-front re-walk (backward.cu:537-604)."""
-    count = counts_ref[pl.program_id(0)]
-    pixb = pix_ref[0]
+    for b in range(TB):
+        _bwd_tile(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
+                  b, C=C, CH=CH, K=K, F=F, TB=TB, cfg=cfg)
+
+
+def _bwd_tile(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
+              b, *, C, CH, K, F, TB, cfg):
+    count = counts_ref[pl.program_id(0) * TB + b]
+    pixb = pix_ref[b]
     pix = (pixb[0:1], pixb[1:2], pixb[2:3], pixb[3:4], pixb[4:5])
-    res = res_ref[0]
+    res = res_ref[b]
     totc = res[0:C]                      # final color (sum of all applied w*c)
     totd = res[C : C + 1]
     Tfin = res[C + 1 : C + 2]
-    g = g_ref[0]
+    g = g_ref[b]
     gc = g[0:C]
     gd = g[C : C + 1]
     gT = g[C + 1 : C + 2]
@@ -213,7 +222,7 @@ def _bwd_kernel(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
     # leaking into the *primal* loss of the surrounding jit).
     def body(i, st):
         T, done, Ac, Ad = st              # T/done at chunk ENTRY; applied
-        s = inst_ref[0, pl.ds(i * CH, CH), :]   # prefix sums over chunks < i
+        s = inst_ref[b, pl.ds(i * CH, CH), :]   # prefix sums over chunks < i
         f = _chunk_fields(s, C)
         alpha, passed, gm = _alpha_pass(f, pix, count, i * CH, CH, cfg)
         w, applied, P, T_new, done_new = _chunk_weights(alpha, passed, T, done, cfg, CH)
@@ -265,7 +274,7 @@ def _bwd_kernel(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
              d_ca, d_cb, d_cc, dop, d_dep] + d_feat + [pad],
             axis=1,
         )
-        dinst_ref[0, pl.ds(i * CH, CH), :] = d_s
+        dinst_ref[b, pl.ds(i * CH, CH), :] = d_s
 
         Ac = Ac + jnp.concatenate(
             [jnp.sum(wc[c], axis=0, keepdims=True) for c in range(C)], axis=0
@@ -282,46 +291,67 @@ def _bwd_kernel(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
     jax.lax.fori_loop(0, K // CH, body, init, unroll=True)
 
 
+def _tb_pad(cfg: RasterConfig, T: int):
+    """Tiles-per-block + padded tile count (pad tiles have count 0)."""
+    TB = max(1, cfg.pallas_tiles_per_block)
+    Tp = -(-T // TB) * TB
+    return TB, Tp
+
+
 def _fwd_call(inst, counts, pix, C: int, cfg: RasterConfig):
     T, K, F = inst.shape
     CH = cfg.pallas_chunk
     assert K % CH == 0, f"tile_capacity {K} must be a multiple of pallas_chunk {CH}"
     assert C + 2 <= OUT_ROWS
-    kernel = functools.partial(_fwd_kernel, C=C, CH=CH, cfg=cfg)
-    return pl.pallas_call(
+    TB, Tp = _tb_pad(cfg, T)
+    if Tp != T:
+        inst = jnp.pad(inst, ((0, Tp - T), (0, 0), (0, 0)))
+        counts = jnp.pad(counts, (0, Tp - T))
+        pix = jnp.pad(pix, ((0, Tp - T), (0, 0), (0, 0)))
+    kernel = functools.partial(_fwd_kernel, C=C, CH=CH, TB=TB, cfg=cfg)
+    out = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(Tp // TB,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, K, F), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, K, F), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, OUT_ROWS, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, OUT_ROWS, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+            (TB, OUT_ROWS, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((T, OUT_ROWS, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Tp, OUT_ROWS, LANES), jnp.float32),
         interpret=_interpret(),
     )(counts, inst, pix)
+    return out[:T]
 
 
 def _bwd_call(inst, counts, pix, res, g, C: int, cfg: RasterConfig):
     T, K, F = inst.shape
     CH = cfg.pallas_chunk
-    kernel = functools.partial(_bwd_kernel, C=C, CH=CH, K=K, F=F, cfg=cfg)
-    return pl.pallas_call(
+    TB, Tp = _tb_pad(cfg, T)
+    if Tp != T:
+        inst = jnp.pad(inst, ((0, Tp - T), (0, 0), (0, 0)))
+        counts = jnp.pad(counts, (0, Tp - T))
+        pix = jnp.pad(pix, ((0, Tp - T), (0, 0), (0, 0)))
+        res = jnp.pad(res, ((0, Tp - T), (0, 0), (0, 0)))
+        g = jnp.pad(g, ((0, Tp - T), (0, 0), (0, 0)))
+    kernel = functools.partial(_bwd_kernel, C=C, CH=CH, K=K, F=F, TB=TB, cfg=cfg)
+    dinst = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(Tp // TB,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, K, F), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, K, F), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, OUT_ROWS, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, OUT_ROWS, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, OUT_ROWS, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, K, F), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, K, F), jnp.float32),
+        out_specs=pl.BlockSpec((TB, K, F), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Tp, K, F), jnp.float32),
         interpret=_interpret(),
     )(counts, inst, pix, res, g)
+    return dinst[:T]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
