@@ -55,6 +55,11 @@ def build_config(argv=None):
     p.add_argument("--max_visible", type=int, default=2**18)
     p.add_argument("--tile_capacity", type=int, default=384)
     p.add_argument("--raydrop_lambda", type=float, default=None)
+    p.add_argument("--raydrop_refiner", default=None,
+                   help="apply a trained raydrop-refiner npz (cli refine) "
+                        "to the rendered raydrop channel during eval — the "
+                        "reference's post-refinement inference path "
+                        "(scene/extre_train_raydrop.py:119-209)")
     p.add_argument("--surfel", action="store_true",
                    help="train/render through the 2DGS surfel rasterizer "
                         "with distortion + normal-consistency regularizers "
@@ -131,7 +136,8 @@ def build_config(argv=None):
     return cfg, args
 
 
-def run_eval(scene, state, trainer, cfg, logger, compute_chamfer=False):
+def run_eval(scene, state, trainer, cfg, logger, compute_chamfer=False,
+             refiner_path=None):
     import jax
     import jax.numpy as jnp
 
@@ -140,15 +146,37 @@ def run_eval(scene, state, trainer, cfg, logger, compute_chamfer=False):
     render = jax.jit(
         lambda p, v, f: trainer.render(p, v, f)
     )
+    refine = None
+    if refiner_path:
+        from ..models.raydrop import init_raydrop_mlp, refine_raydrop
+        from ..ops.composite import pixel_rays
+        from ..utils.serialization import load_pytree_npz
+
+        rp = load_pytree_npz(refiner_path, init_raydrop_mlp(jax.random.key(0)))
+        fr0 = scene.data.train_frames[0]
+        H, W = fr0.H, fr0.W
+        rows = jnp.repeat(jnp.arange(H, dtype=jnp.int32), W)
+        cols = jnp.tile(jnp.arange(W, dtype=jnp.int32), H)
+        dirs_hw3 = pixel_rays(rows, cols, jnp.asarray(fr0.beams), W).reshape(H, W, 3)
+        depth_scale = trainer.ocfg.depth_max
+
+        @jax.jit
+        def refine(color, depth):
+            rd = refine_raydrop(rp, dirs_hw3, color[0], depth / depth_scale)
+            return jnp.stack([color[0], rd], 0)
+
     results = {}
     for name, frames in (("test", scene.data.test_frames),
                          ("train", scene.data.train_frames)):
         per = []
         for fr in frames:
             out = render(state.params, state.valid, fr)
+            color = out.color
+            if refine is not None:
+                color = refine(color, out.depth)
             per.append(
                 evaluate_frame(
-                    out.color, out.depth, fr.gt_image, fr.beams,
+                    color, out.depth, fr.gt_image, fr.beams,
                     depth_min=trainer.ocfg.depth_min,
                     depth_max=trainer.ocfg.depth_max,
                     compute_chamfer=compute_chamfer,
@@ -159,6 +187,7 @@ def run_eval(scene, state, trainer, cfg, logger, compute_chamfer=False):
         logger.info(
             f"[eval {name}] psnr={m['intensity_psnr']:.3f} "
             f"ssim={m['intensity_ssim']:.4f} "
+            f"rd_acc={m['raydrop_acc']:.4f} "
             f"d_rmse={m['depth_rmse']:.4f} d_medae={m['depth_medae']:.4f}"
             + (f" cd={m.get('depth_cd', 0):.5f} f={m.get('depth_fscore', 0):.4f}"
                if compute_chamfer else "")
@@ -216,9 +245,12 @@ def main(argv=None):
     if args.load_iteration is not None:
         # eval-only: metric sweep + FPS + saved PNG renders
         run_eval(scene, state, trainer, cfg, logger,
-                 compute_chamfer=args.eval_chamfer)
+                 compute_chamfer=args.eval_chamfer,
+                 refiner_path=args.raydrop_refiner)
         measure_fps(scene, state, trainer, logger)
         render_sets(scene, state, trainer, cfg, logger)
+        if args.dump_renders:
+            dump_renders(scene, state, trainer, cfg, logger)
         return state
     first_iter = 0
     if args.start_checkpoint is not None:
