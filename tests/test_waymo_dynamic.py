@@ -180,3 +180,44 @@ def test_too_few_frames_returns_none(tmp_path):
     _make_bundle(str(tmp_path))
     sc = WaymoDynamicScene(str(tmp_path))
     assert read_dynamic_model(sc, "wall_1") is None
+
+
+def test_dynamic_decomposition_trains_end_to_end(tmp_path):
+    """Background + dynamic-vehicle sub-scenes train through the masked
+    losses — the workflow the reference's dynamic mode promises but cannot
+    run as released (dataset_readers_dynmaic.py:121 syntax error,
+    readme.md:40)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from lidargs_tpu.config import ModelConfig, OptConfig, RasterConfig
+    from lidargs_tpu.data.waymo_dynamic import read_dynamic_scene
+    from lidargs_tpu.models.field import init_field_from_points
+    from lidargs_tpu.train.trainer import init_train_state, train_step
+
+    root = str(tmp_path / "ctx")
+    _make_bundle(root)
+    _, models = read_dynamic_scene(root, init_samples=4000, min_frames=3,
+                                   min_points=20)
+    assert len(models) >= 2          # background + the car
+    mcfg = ModelConfig(feat_dim=8, n_offsets=2, mlp_hidden=8,
+                       anchor_capacity=4096)
+    rcfg = RasterConfig(max_visible=4096, max_tiles_per_gaussian=8,
+                        tile_capacity=64, chunk=8)
+    ocfg = OptConfig(start_stat=0)
+    for md in models[:2]:
+        field = init_field_from_points(
+            jax.random.key(0), mcfg, md.init_points, voxel_size=2.0)
+        state = init_train_state(field, mcfg)
+        step = jax.jit(functools.partial(
+            train_step, bg=jnp.zeros((2,), jnp.float32),
+            mcfg=mcfg, rcfg=rcfg, ocfg=ocfg))
+        losses = []
+        for it in range(8):
+            fr = md.train_frames[it % len(md.train_frames)]
+            state, m = step(state, fr)
+            losses.append(float(m.loss.total))
+        assert np.isfinite(losses).all(), (md.model_id, losses)
+        assert losses[-1] < losses[0], (md.model_id, losses)
