@@ -83,24 +83,44 @@ def _chamfer_dir(a: jnp.ndarray, a_valid: jnp.ndarray, b: jnp.ndarray,
     return jnp.where(a_valid, jnp.maximum(mins, 0.0), 0.0)
 
 
-def chamfer_distance(pred: np.ndarray, gt: np.ndarray, chunk: int = 4096):
+def chamfer_distance(pred: np.ndarray, gt: np.ndarray, chunk: int = 4096,
+                     capacity: int = None):
     """Bidirectional mean squared chamfer distance + per-point squared
-    distances (chamfer_3DFunction semantics). Returns (cd, d1, d2)."""
-    a = jnp.asarray(pred, jnp.float32)
-    b = jnp.asarray(gt, jnp.float32)
-    av = jnp.ones((a.shape[0],), bool)
-    bv = jnp.ones((b.shape[0],), bool)
+    distances (chamfer_3DFunction semantics). Returns (cd, d1, d2, v1, v2).
+
+    `capacity`: pad both clouds to this STATIC size (validity-masked) so
+    per-frame point counts don't trigger a recompile — pano_to_lidar
+    returns a different length every frame, and an uncached compile costs
+    ~45 s through the remote-TPU tunnel (measured: a 46-frame eval sweep
+    appeared hung). Pass e.g. H*W from the eval loop."""
+    a = np.asarray(pred, np.float32)
+    b = np.asarray(gt, np.float32)
+    na, nb = a.shape[0], b.shape[0]
+    if capacity is not None:
+        if max(na, nb) > capacity:
+            raise ValueError(f"{max(na, nb)} points exceed capacity {capacity}")
+        a = np.pad(a, ((0, capacity - na), (0, 0)))
+        b = np.pad(b, ((0, capacity - nb), (0, 0)))
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    av = jnp.arange(a.shape[0]) < na
+    bv = jnp.arange(b.shape[0]) < nb
     d1 = _chamfer_dir(a, av, b, bv, chunk)
     d2 = _chamfer_dir(b, bv, a, av, chunk)
-    cd = jnp.mean(d1) + jnp.mean(d2)
-    return float(cd), d1, d2
+    cd = jnp.sum(d1) / jnp.maximum(na, 1) + jnp.sum(d2) / jnp.maximum(nb, 1)
+    return float(cd), d1, d2, av, bv
 
 
-def fscore(d1, d2, threshold: float = 0.05):
+def fscore(d1, d2, threshold: float = 0.05, v1=None, v2=None):
     """F-score at tau (extern/fscore.py:4-18): precision/recall from the
-    *squared* chamfer distances, matching the reference's usage."""
-    precision_1 = jnp.mean((d1 < threshold).astype(jnp.float32))
-    precision_2 = jnp.mean((d2 < threshold).astype(jnp.float32))
+    *squared* chamfer distances, matching the reference's usage. v1/v2:
+    optional validity masks for capacity-padded inputs."""
+    if v1 is None:
+        v1 = jnp.ones(d1.shape, bool)
+    if v2 is None:
+        v2 = jnp.ones(d2.shape, bool)
+    precision_1 = jnp.sum((d1 < threshold) & v1) / jnp.maximum(jnp.sum(v1), 1)
+    precision_2 = jnp.sum((d2 < threshold) & v2) / jnp.maximum(jnp.sum(v2), 1)
     denom = precision_1 + precision_2
     f = jnp.where(denom > 0, 2 * precision_1 * precision_2 / jnp.maximum(denom, 1e-20), 0.0)
     return float(f), float(precision_1), float(precision_2)

@@ -89,8 +89,11 @@ def evaluate_frame(
         pred_pts = pano_to_lidar(depth_render, beam_inclinations=beams)
         gt_pts = pano_to_lidar(gt_depth, beam_inclinations=beams)
         if len(pred_pts) > 0 and len(gt_pts) > 0:
-            cd, d1, d2 = chamfer_distance(pred_pts, gt_pts)
-            f, _, _ = fscore(d1, d2, threshold=0.05)
+            # static capacity = the pixel count: one compile for the sweep
+            H, W = render_depth.shape
+            cd, d1, d2, v1, v2 = chamfer_distance(pred_pts, gt_pts,
+                                                  capacity=H * W)
+            f, _, _ = fscore(d1, d2, threshold=0.05, v1=v1, v2=v2)
             out["depth_cd"] = cd
             out["depth_fscore"] = f
         else:

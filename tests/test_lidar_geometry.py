@@ -84,3 +84,32 @@ def test_pano_to_lidar_depth_preserved():
     pts = pano_to_lidar(pano, beam_inclinations=beams)
     assert pts.shape == (1, 3)
     assert np.isclose(np.linalg.norm(pts[0]), 12.5)
+
+
+def test_chamfer_distance_and_fscore_vs_numpy():
+    """Blocked MXU chamfer == brute-force numpy, with and without the
+    static-capacity padding used by the eval sweep (chamfer_3D semantics,
+    extern/chamfer3D/chamfer3D.cu:9-228 + extern/fscore.py:4-18)."""
+    import numpy as np
+
+    from lidargs_tpu.ops.knn import chamfer_distance, fscore
+
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=(257, 3)).astype(np.float32)
+    b = rng.normal(size=(401, 3)).astype(np.float32) * 1.1
+
+    ref_d1 = ((a[:, None] - b[None]) ** 2).sum(-1).min(1)
+    ref_d2 = ((b[:, None] - a[None]) ** 2).sum(-1).min(1)
+    ref_cd = ref_d1.mean() + ref_d2.mean()
+
+    for cap in (None, 1024):
+        cd, d1, d2, v1, v2 = chamfer_distance(a, b, chunk=64, capacity=cap)
+        np.testing.assert_allclose(cd, ref_cd, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(d1)[np.asarray(v1)], ref_d1,
+                                   rtol=1e-4, atol=1e-5)
+        f, p1, p2 = fscore(d1, d2, threshold=0.5, v1=v1, v2=v2)
+        rp1 = (ref_d1 < 0.5).mean()
+        rp2 = (ref_d2 < 0.5).mean()
+        np.testing.assert_allclose(p1, rp1, rtol=1e-6)
+        np.testing.assert_allclose(p2, rp2, rtol=1e-6)
+        np.testing.assert_allclose(f, 2 * rp1 * rp2 / (rp1 + rp2), rtol=1e-6)
