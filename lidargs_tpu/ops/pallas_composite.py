@@ -140,13 +140,24 @@ def _chunk_weights(alpha, passed, T, done, cfg: RasterConfig, ch: int):
     P = T * excl
     crossing = passed & (P * (1.0 - alpha) < cfg.transmittance_min)
     crossf = jnp.where(crossing, 1.0, 0.0)
-    dead = _cummax(crossf, ch) > 0.0
+    deadf = _cummax(crossf, ch)
+    dead = deadf > 0.0
     applied = passed & ~dead & (done < 0.5)
     w = jnp.where(applied, alpha * P, 0.0)
-    # prod over applied(1-alpha): Mosaic has no reduce_prod — reuse the scan
-    one_m_app = jnp.where(applied, 1.0 - alpha, 1.0)
-    T_new = T * _cummul(one_m_app, ch)[ch - 1 : ch]
-    done_new = jnp.maximum(done, jnp.max(crossf, axis=0, keepdims=True))
+    # prod over applied(1-alpha) WITHOUT a second prefix scan: when done<0.5
+    # every passed instance before the FIRST crossing is applied, so the
+    # product is excl[first crossing] — or incl[ch-1] when nothing crossed;
+    # when done>=0.5 nothing is applied and T is unchanged. (float shift:
+    # Mosaic rejects boolean concatenate)
+    dead_excl = jnp.concatenate(
+        [jnp.zeros((1, LANES), jnp.float32), deadf[: ch - 1]], axis=0
+    )
+    first = crossing & (dead_excl <= 0.0)
+    any_cross = jnp.max(crossf, axis=0, keepdims=True)
+    t_sel = jnp.sum(jnp.where(first, excl, 0.0), axis=0, keepdims=True)
+    t_fac = jnp.where(any_cross > 0.0, t_sel, incl[ch - 1 : ch])
+    T_new = T * jnp.where(done < 0.5, t_fac, 1.0)
+    done_new = jnp.maximum(done, any_cross)
     done_new = jnp.maximum(
         done_new, jnp.where(T_new < cfg.transmittance_min, 1.0, 0.0)
     )
