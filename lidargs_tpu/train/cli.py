@@ -184,6 +184,9 @@ def run_eval(scene, state, trainer, cfg, logger, compute_chamfer=False,
             )
         m = mean_metrics(per)
         results[name] = m
+        results[f"per_view_{name}"] = {
+            f"{i:05d}": pv for i, pv in enumerate(per)
+        }
         logger.info(
             f"[eval {name}] psnr={m['intensity_psnr']:.3f} "
             f"ssim={m['intensity_ssim']:.4f} "
@@ -192,6 +195,13 @@ def run_eval(scene, state, trainer, cfg, logger, compute_chamfer=False,
             + (f" cd={m.get('depth_cd', 0):.5f} f={m.get('depth_fscore', 0):.4f}"
                if compute_chamfer else "")
         )
+    # results.json / per_view.json persistence (train.py:435-436,548-551)
+    mean_out = {k: v for k, v in results.items() if not k.startswith("per_view_")}
+    with open(os.path.join(cfg.model_path, "results.json"), "w") as f:
+        json.dump(mean_out, f, indent=2)
+    with open(os.path.join(cfg.model_path, "per_view.json"), "w") as f:
+        json.dump({k: v for k, v in results.items()
+                   if k.startswith("per_view_")}, f, indent=2)
     return results
 
 
