@@ -137,7 +137,7 @@ def build_config(argv=None):
 
 
 def run_eval(scene, state, trainer, cfg, logger, compute_chamfer=False,
-             refiner_path=None):
+             refiner_path=None, tb=None, step=0):
     import jax
     import jax.numpy as jnp
 
@@ -169,11 +169,21 @@ def run_eval(scene, state, trainer, cfg, logger, compute_chamfer=False,
     for name, frames in (("test", scene.data.test_frames),
                          ("train", scene.data.train_frames)):
         per = []
-        for fr in frames:
+        for idx, fr in enumerate(frames):
             out = render(state.params, state.valid, fr)
             color = out.color
             if refine is not None:
                 color = refine(color, out.depth)
+            if tb is not None and tb.active and name == "test" and idx < 4:
+                # turbo depth + intensity render + GT (train.py:327-338)
+                tb.depth_image(f"eval/{name}_{idx}/depth",
+                               np.asarray(out.depth), step,
+                               vmax=trainer.ocfg.depth_max)
+                gray = lambda x: np.repeat(np.asarray(x)[..., None], 3, -1)
+                tb.image(f"eval/{name}_{idx}/render",
+                         gray(jnp.clip(color[0], 0, 1)), step)
+                tb.image(f"eval/{name}_{idx}/gt",
+                         gray(fr.gt_image[1] * fr.gt_image[0]), step)
             per.append(
                 evaluate_frame(
                     color, out.depth, fr.gt_image, fr.beams,
@@ -322,7 +332,7 @@ def main(argv=None):
             )
         if it in cfg.test_iterations:
             run_eval(scene, state, trainer, cfg, logger,
-                     compute_chamfer=args.eval_chamfer)
+                     compute_chamfer=args.eval_chamfer, tb=tb, step=it)
         if it in cfg.save_iterations:
             path = scene.save(state.params, state.valid, it)
             logger.info(f"saved snapshot to {path}")
