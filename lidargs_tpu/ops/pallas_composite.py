@@ -32,7 +32,6 @@ a gather is a deterministic scatter-add, replacing atomicAdd.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -27,13 +27,6 @@ def psnr(img, gt):
     return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-20)))
 
 
-def _gaussian_window(size: int = 11, sigma: float = 1.5):
-    x = jnp.arange(size, dtype=jnp.float32) - size // 2
-    g = jnp.exp(-(x**2) / (2 * sigma**2))
-    g = g / g.sum()
-    return jnp.outer(g, g)
-
-
 def _sep_conv(x: jnp.ndarray, g: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Zero-padded 'SAME' 1-D convolution along `axis` of [C,H,W] as a
     shift-and-accumulate sum — f32 exact, fuses to ~2·taps VPU ops.
