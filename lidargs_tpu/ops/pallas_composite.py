@@ -225,13 +225,19 @@ def _bwd_tile(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
     gd = g[C : C + 1]
     gT = g[C + 1 : C + 2]
 
-    # STATIC trip count (K // CH chunks), every chunk stored unconditionally:
-    # dead chunks produce all-zero d_s through the `live` masks. A dynamic
-    # while_loop with early exit + pre-zeroed output miscompiles on Mosaic
-    # (out-of-bounds stores corrupting unrelated buffers — observed as -inf
-    # leaking into the *primal* loss of the surrounding jit).
-    def body(i, st):
-        T, done, Ac, Ad = st              # T/done at chunk ENTRY; applied
+    # dynamic trip count + transmittance early exit, like the forward: once
+    # every lane is done, later chunks contribute d_s = 0 — pre-zero the
+    # block and stop (at saturated tiles the forward walks ~2 of 3 chunks;
+    # skipping the dead tail here is a ~10% train-step win)
+    dinst_ref[b] = jnp.zeros((K, F), jnp.float32)
+    nch = pl.cdiv(count, CH)
+
+    def cond(st):
+        i, T, done, Ac, Ad = st
+        return (i < nch) & (jnp.min(done) < 0.5)
+
+    def body(st):
+        i, T, done, Ac, Ad = st           # T/done at chunk ENTRY; applied
         s = inst_ref[b, pl.ds(i * CH, CH), :]   # prefix sums over chunks < i
         f = _chunk_fields(s, C)
         alpha, passed, gm = _alpha_pass(f, pix, count, i * CH, CH, cfg)
@@ -290,15 +296,16 @@ def _bwd_tile(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
             [jnp.sum(wc[c], axis=0, keepdims=True) for c in range(C)], axis=0
         )
         Ad = Ad + jnp.sum(wd, axis=0, keepdims=True)
-        return (T_new, done_new, Ac, Ad)
+        return (i + 1, T_new, done_new, Ac, Ad)
 
     init = (
+        jnp.zeros((), jnp.int32),
         jnp.ones((1, LANES), jnp.float32),
         jnp.zeros((1, LANES), jnp.float32),
         jnp.zeros((C, LANES), jnp.float32),
         jnp.zeros((1, LANES), jnp.float32),
     )
-    jax.lax.fori_loop(0, K // CH, body, init, unroll=True)
+    jax.lax.while_loop(cond, body, init)
 
 
 def _tb_pad(cfg: RasterConfig, T: int):
