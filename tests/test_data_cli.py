@@ -230,3 +230,35 @@ def test_cli_config_merge(tmp_path):
         "-s", "/nonexistent", "--config", cfgf, "--iterations", "7",
     ])
     assert cfg2.opt.iterations == 7
+
+
+def test_cli_refined_eval(tmp_path):
+    """--raydrop_refiner applies a trained refiner during the eval sweep and
+    results.json is persisted (the reference's extre_train_raydrop
+    inference path)."""
+    from lidargs_tpu.train import cli
+
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    _make_dataset(data_dir)
+    model_dir = str(tmp_path / "out")
+    base = [
+        "-s", data_dir, "-m", model_dir,
+        "--voxel_size", "8.0", "--anchor_capacity", "2048",
+        "--max_visible", "4096", "--tile_capacity", "64",
+        "--log_every", "10",
+    ]
+    cli.main(base + ["--iterations", "8", "--test_iterations",
+                     "--save_iterations", "8", "--dump_renders"])
+    cli.refine_main(["--renders", os.path.join(model_dir, "renders"),
+                     "--epochs", "1"])
+    cli.main(base + [
+        "--load_iteration", "8",
+        "--raydrop_refiner",
+        os.path.join(model_dir, "renders", "raydrop_refiner.npz"),
+    ])
+    import json as _json
+    with open(os.path.join(model_dir, "results.json")) as f:
+        res = _json.load(f)
+    assert "test" in res and "raydrop_acc" in res["test"]
+    assert np.isfinite(res["test"]["intensity_psnr"])
