@@ -46,6 +46,58 @@ def synthetic_scene(mcfg: ModelConfig, H: int, W: int, n_points: int,
     return field, frame
 
 
+def measure_dp_rate(
+    mesh,
+    mcfg: ModelConfig,
+    rcfg: RasterConfig,
+    ocfg: OptConfig,
+    H: int = 64,
+    W: int = 2650,
+    n_points: int = 60_000,
+    steps: int = 10,
+    warmup: int = 2,
+    voxel_size: float = 0.5,
+    runtime=None,
+) -> dict:
+    """Train-step throughput on ONE mesh (any size, any number of hosts).
+
+    Under a multi-process runtime the mesh spans hosts: every process
+    calls this SPMD with identical args, builds only its local frame
+    slice, and the timed loop includes the cross-host gradient psum.
+    Returns {devices, hosts, ms_per_step, frames_per_s, rays_per_s}.
+    """
+    field, frame = synthetic_scene(mcfg, H, W, n_points, voxel_size=voxel_size)
+    bg = jnp.zeros((mcfg.color_channel,), jnp.float32)
+    step = make_dp_trainer(mesh, mcfg, rcfg, ocfg, bg=bg)
+    d = mesh.devices.size
+    if runtime is not None and runtime.num_processes > 1:
+        state = runtime.replicate_tree(
+            init_train_state(jax.tree.map(jnp.copy, field), mcfg), mesh)
+        n_local = d // runtime.num_processes
+        frames = runtime.shard_batch(stack_frames([frame] * n_local), mesh)
+        hosts = runtime.num_processes
+    else:
+        state = init_train_state(jax.tree.map(jnp.copy, field), mcfg)
+        frames = stack_frames([frame] * d)
+        hosts = 1
+    for _ in range(warmup):
+        state, m = step(state, frames)
+    jax.block_until_ready(state.params["anchor"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step(state, frames)
+    jax.block_until_ready(state.params["anchor"])
+    dt = (time.perf_counter() - t0) / steps
+    fps = d / dt
+    return {
+        "devices": d,
+        "hosts": hosts,
+        "ms_per_step": dt * 1e3,
+        "frames_per_s": fps,
+        "rays_per_s": fps * H * W,
+    }
+
+
 def measure_dp_scaling(
     mcfg: ModelConfig,
     rcfg: RasterConfig,
@@ -64,34 +116,15 @@ def measure_dp_scaling(
     n_avail = len(jax.devices())
     if device_counts is None:
         device_counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_avail]
-    field, frame = synthetic_scene(mcfg, H, W, n_points, voxel_size=voxel_size)
-    bg = jnp.zeros((mcfg.color_channel,), jnp.float32)
     base_rate = None
     out = []
     for d in device_counts:
         mesh = make_mesh(data=d, tile=1)
-        step = make_dp_trainer(mesh, mcfg, rcfg, ocfg, bg=bg)
-        # the jitted step donates its state argument: start each mesh size
-        # from a fresh copy of the field
-        state = init_train_state(jax.tree.map(jnp.copy, field), mcfg)
-        frames = stack_frames([frame] * d)
-        for _ in range(warmup):
-            state, m = step(state, frames)
-        jax.block_until_ready(state.params["anchor"])
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state, m = step(state, frames)
-        jax.block_until_ready(state.params["anchor"])
-        dt = (time.perf_counter() - t0) / steps
-        fps = d / dt
-        rate = fps * H * W
+        rec = measure_dp_rate(mesh, mcfg, rcfg, ocfg, H=H, W=W,
+                              n_points=n_points, steps=steps, warmup=warmup,
+                              voxel_size=voxel_size)
         if base_rate is None:
-            base_rate = rate
-        out.append({
-            "devices": d,
-            "ms_per_step": dt * 1e3,
-            "frames_per_s": fps,
-            "rays_per_s": rate,
-            "efficiency": rate / (base_rate * d),
-        })
+            base_rate = rec["rays_per_s"]
+        rec["efficiency"] = rec["rays_per_s"] / (base_rate * d / device_counts[0])
+        out.append(rec)
     return out

@@ -1,0 +1,113 @@
+"""Multi-host (multi-process) distributed runtime tests.
+
+VERDICT round-1 item 1: the north star names N>=2 hosts; this exercises
+real process boundaries — `jax.distributed.initialize`-coordinated
+localhost processes with disjoint CPU device sets, gloo cross-process
+collectives, per-host frame loading, non-addressable shards — and
+asserts DP-training parity with a single-process run over the same
+global device count and schedule.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_fleet(tmp_path, tag, nproc, local_devices, steps=6, batch=4,
+               densify_at=4, timeout=900):
+    """Launch nproc workers; return the coordinator's saved state npz."""
+    port = _free_port()
+    out = str(tmp_path / f"{tag}.npz")
+    env = dict(os.environ)
+    # the pytest env forces an 8-device host platform; workers pin their
+    # own per-process device count through jax_num_cpu_devices instead
+    env["XLA_FLAGS"] = ""
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs, logs = [], []
+    for pid in range(nproc):
+        cfg = {
+            "coord": f"127.0.0.1:{port}",
+            "nproc": nproc,
+            "pid": pid,
+            "local_devices": local_devices,
+            "steps": steps,
+            "batch": batch,
+            "densify_at": densify_at,
+            "out": out,
+        }
+        log_path = tmp_path / f"{tag}.p{pid}.log"
+        log = open(log_path, "w")
+        logs.append(log_path)
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER, json.dumps(cfg)],
+            env=env, stdout=log, stderr=subprocess.STDOUT, cwd=REPO,
+        ))
+    rcs = []
+    try:
+        for p in procs:
+            rcs.append(p.wait(timeout=timeout))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    if any(rc != 0 for rc in rcs):
+        dump = "\n".join(
+            f"--- {lp} ---\n" + open(lp).read()[-4000:] for lp in logs
+        )
+        pytest.fail(f"fleet {tag} rcs={rcs}\n{dump}")
+    return np.load(out)
+
+
+def test_multiprocess_dp_parity(tmp_path):
+    """2 processes x 2 devices == 1 process x 4 devices, same schedule.
+
+    Covers: distributed init, global mesh spanning processes, replicated
+    state assembly, per-host frame slices -> global batch, cross-process
+    grad psum (gloo), densify on the replicated state, barrier."""
+    multi = _run_fleet(tmp_path, "multi", nproc=2, local_devices=2)
+    single = _run_fleet(tmp_path, "single", nproc=1, local_devices=4)
+
+    assert int(multi["step"]) == int(single["step"])
+    np.testing.assert_array_equal(multi["valid"], single["valid"])
+    for k in ("anchor", "offset", "feat", "scaling",
+              "opacity_accum", "offset_grad_accum"):
+        err = np.max(np.abs(multi[k] - single[k]))
+        # only the gradient all-reduce order differs (gloo ring vs
+        # in-process); tolerance covers that float non-associativity
+        assert err < 1e-5, f"{k}: multi vs single max err {err}"
+
+
+def test_frame_schedule_partitions():
+    """The shared schedule is a deterministic epoch shuffle; host slices
+    partition each step's global batch."""
+    from lidargs_tpu.parallel.runtime import (
+        Runtime, RuntimeConfig, frame_schedule,
+    )
+
+    F, B = 8, 4
+    seen = []
+    for step in range(4):
+        idx = frame_schedule(9, step, B, F)
+        assert frame_schedule(9, step, B, F) == idx  # deterministic
+        r0 = Runtime(RuntimeConfig(num_processes=2, process_id=0))
+        r1 = Runtime(RuntimeConfig(num_processes=2, process_id=1))
+        assert r0.local_indices(idx) + r1.local_indices(idx) == idx
+        seen.extend(idx)
+    # two full epochs: every frame visited exactly twice, no replacement
+    assert sorted(seen) == sorted(list(range(F)) * 2)
