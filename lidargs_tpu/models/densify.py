@@ -60,7 +60,9 @@ def _grow_level(
     valid = state.valid
     C = params["anchor"].shape[0]
     k = mcfg.n_offsets
-    S = mcfg.grow_src_cap
+    # argsort-compaction below can produce at most C*k candidate rows, so a
+    # larger configured cap would desync sel_* from the tag/row vectors
+    S = min(mcfg.grow_src_cap, mcfg.anchor_capacity * k)
     G = mcfg.grow_cap_per_level
 
     cur_threshold = ocfg.densify_grad_threshold * (

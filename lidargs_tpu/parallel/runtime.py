@@ -172,18 +172,27 @@ def init_runtime(cfg: RuntimeConfig) -> Runtime:
     and device-count config are locked at first backend query)."""
     import jax
 
-    if cfg.platform is not None:
-        jax.config.update("jax_platforms", cfg.platform)
-    if cfg.local_device_count is not None:
-        jax.config.update("jax_num_cpu_devices", cfg.local_device_count)
+    # idempotent: --warmup re-enters the CLI main() in-process, and config
+    # updates raise once the backend is live — tolerate both
+    try:
+        if cfg.platform is not None:
+            jax.config.update("jax_platforms", cfg.platform)
+        if cfg.local_device_count is not None:
+            jax.config.update("jax_num_cpu_devices", cfg.local_device_count)
+    except RuntimeError:
+        pass
     if cfg.num_processes > 1:
         if not cfg.coordinator_address:
             raise ValueError("multi-process runtime needs coordinator_address")
-        jax.distributed.initialize(
-            coordinator_address=cfg.coordinator_address,
-            num_processes=cfg.num_processes,
-            process_id=cfg.process_id,
-        )
+        try:
+            jax.distributed.initialize(
+                coordinator_address=cfg.coordinator_address,
+                num_processes=cfg.num_processes,
+                process_id=cfg.process_id,
+            )
+        except RuntimeError as e:
+            if "already" not in str(e).lower():
+                raise
         assert jax.process_count() == cfg.num_processes
     return Runtime(cfg)
 

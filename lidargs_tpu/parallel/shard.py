@@ -15,6 +15,7 @@ GPU, SURVEY.md §2.3). SPMD design, not NCCL translation:
 """
 from __future__ import annotations
 
+from dataclasses import dataclass, field
 from functools import partial
 from typing import Optional
 
@@ -24,10 +25,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ModelConfig, OptConfig, ParallelConfig, RasterConfig
 from ..lidar.frames import LidarFrame
-from ..models.field import render_field
-from ..train.losses import lidar_losses
 from ..train.optim import adam_update, lr_schedules
-from ..train.trainer import StepMetrics, TrainState
+from ..train.trainer import StepMetrics, Trainer, TrainState, frame_loss
 
 
 def dp_train_step(
@@ -38,6 +37,7 @@ def dp_train_step(
     rcfg: RasterConfig,
     ocfg: OptConfig,
     update_stats: bool = True,
+    variant: str = "beam",
 ):
     """One optimization step over a batch of frames (mean loss)."""
     C = state.params["anchor"].shape[0]
@@ -47,15 +47,9 @@ def dp_train_step(
 
     def loss_fn(params, proxy_b):
         def one(frame, proxy):
-            out, ng, anchor_vis = render_field(
-                params, state.valid, frame, mcfg, rcfg, bg, sphere_proxy=proxy
-            )
-            lt = lidar_losses(
-                out.color, out.depth, frame.gt_image, ng.scaling, ng.mask,
-                lambda_dssim=ocfg.lambda_dssim,
-                raydrop_lambda=ocfg.raydrop_lambda,
-                scale_reg=ocfg.scale_reg,
-                grad_clip_x=ocfg.grad_clip_x,
+            total, (out, ng, anchor_vis, lt) = frame_loss(
+                params, proxy, state.valid, state.step, frame,
+                bg, mcfg, rcfg, ocfg, variant,
             )
             aux = (
                 anchor_vis,
@@ -66,7 +60,7 @@ def dp_train_step(
                 out.n_overflow,
                 lt,
             )
-            return lt.total, aux
+            return total, aux
 
         totals, aux = jax.vmap(one)(frames, proxy_b)
         return jnp.mean(totals), aux
@@ -128,6 +122,8 @@ def make_dp_trainer(
     ocfg: OptConfig,
     bg: jnp.ndarray,
     pcfg: ParallelConfig = ParallelConfig(),
+    update_stats: bool = True,
+    variant: str = "beam",
 ):
     """Jitted data-parallel step: state replicated, frames sharded on
     'data'. Returns fn(state, stacked_frames) -> (state, metrics)."""
@@ -135,8 +131,30 @@ def make_dp_trainer(
     fsh = NamedSharding(mesh, P(pcfg.data_axis))
 
     step = jax.jit(
-        partial(dp_train_step, bg=bg, mcfg=mcfg, rcfg=rcfg, ocfg=ocfg),
+        partial(dp_train_step, bg=bg, mcfg=mcfg, rcfg=rcfg, ocfg=ocfg,
+                update_stats=update_stats, variant=variant),
         in_shardings=(repl, fsh),
         donate_argnums=(0,),
     )
     return step
+
+
+@dataclass
+class DPTrainer(Trainer):
+    """Data-parallel Trainer: same interface (step/densify/render), but
+    `step` consumes a stacked frame batch sharded over the mesh 'data'
+    axis. Works over a single-process mesh (the CLI's --data_parallel) or
+    a multi-host global mesh (parallel/runtime.py) — the jitted step and
+    its gradient psum are identical in both; only array assembly differs.
+    """
+
+    mesh: Optional[Mesh] = None
+    pcfg: ParallelConfig = field(default_factory=ParallelConfig)
+
+    def __post_init__(self):
+        assert self.mesh is not None, "DPTrainer needs a mesh"
+        kw = dict(mcfg=self.mcfg, rcfg=self.rcfg, ocfg=self.ocfg,
+                  bg=self.bg, pcfg=self.pcfg, variant=self.variant)
+        self._step = make_dp_trainer(self.mesh, **kw)
+        self._step_nostats = make_dp_trainer(self.mesh, update_stats=False,
+                                             **kw)

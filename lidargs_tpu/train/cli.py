@@ -24,13 +24,13 @@ import time
 import numpy as np
 
 
-def get_logger(model_path: str) -> logging.Logger:
+def get_logger(model_path: str, suffix: str = "") -> logging.Logger:
     logger = logging.getLogger("lidargs_tpu")
     logger.setLevel(logging.INFO)
     logger.handlers.clear()
     fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
     os.makedirs(model_path, exist_ok=True)
-    fh = logging.FileHandler(os.path.join(model_path, "outputs.log"))
+    fh = logging.FileHandler(os.path.join(model_path, f"outputs{suffix}.log"))
     fh.setFormatter(fmt)
     sh = logging.StreamHandler(sys.stdout)
     sh.setFormatter(fmt)
@@ -60,6 +60,10 @@ def build_config(argv=None):
                         "to the rendered raydrop channel during eval — the "
                         "reference's post-refinement inference path "
                         "(scene/extre_train_raydrop.py:119-209)")
+    p.add_argument("--lpips_weights", default=None,
+                   help="npz from tools/convert_lpips_weights.py — enables "
+                        "the VGG-LPIPS eval metric (train.py:519-529); "
+                        "skipped when absent")
     p.add_argument("--surfel", action="store_true",
                    help="train/render through the 2DGS surfel rasterizer "
                         "with distortion + normal-consistency regularizers "
@@ -68,6 +72,24 @@ def build_config(argv=None):
     p.add_argument("--depth_min", type=float, default=None,
                    help="depth-metric lower clamp (default: 5 for waymo, "
                         "1 otherwise, arguments/__init__.py:158)")
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="train data-parallel over N devices (frames sharded "
+                        "on the mesh 'data' axis, grad all-reduce inserted "
+                        "by XLA). 0/1 = single-device. Net-new vs the "
+                        "reference's one-GPU loop (SURVEY.md §2.3)")
+    p.add_argument("--dp_batch", type=int, default=0,
+                   help="global frames per DP step (default: data_parallel; "
+                        "must be divisible by it)")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 — enables multi-host "
+                        "training via jax.distributed (parallel/runtime.py)")
+    p.add_argument("--num_processes", type=int, default=1)
+    p.add_argument("--process_id", type=int, default=0)
+    p.add_argument("--mp_platform", default=None,
+                   help="pin the JAX platform before distributed init "
+                        "(e.g. cpu for localhost fleets)")
+    p.add_argument("--mp_local_devices", type=int, default=None,
+                   help="virtual device count per process (CPU fleets)")
     p.add_argument("--test_iterations", type=int, nargs="*", default=None)
     p.add_argument("--save_iterations", type=int, nargs="*", default=None)
     p.add_argument("--checkpoint_iterations", type=int, nargs="*", default=[])
@@ -137,7 +159,7 @@ def build_config(argv=None):
 
 
 def run_eval(scene, state, trainer, cfg, logger, compute_chamfer=False,
-             refiner_path=None, tb=None, step=0):
+             refiner_path=None, tb=None, step=0, lpips_weights=None):
     import jax
     import jax.numpy as jnp
 
@@ -146,6 +168,14 @@ def run_eval(scene, state, trainer, cfg, logger, compute_chamfer=False,
     render = jax.jit(
         lambda p, v, f: trainer.render(p, v, f)
     )
+    lpips_fn = None
+    if lpips_weights:
+        # VGG-LPIPS on the intensity render vs GT (train.py:519-529); skipped
+        # cleanly when no weights file is provided (zero-egress environment)
+        from .lpips import load_lpips_params, lpips_single
+
+        lp = load_lpips_params(lpips_weights)
+        lpips_fn = jax.jit(lambda a, b: lpips_single(lp, a, b))
     refine = None
     if refiner_path:
         from ..models.raydrop import init_raydrop_mlp, refine_raydrop
@@ -184,14 +214,18 @@ def run_eval(scene, state, trainer, cfg, logger, compute_chamfer=False,
                          gray(jnp.clip(color[0], 0, 1)), step)
                 tb.image(f"eval/{name}_{idx}/gt",
                          gray(fr.gt_image[1] * fr.gt_image[0]), step)
-            per.append(
-                evaluate_frame(
-                    color, out.depth, fr.gt_image, fr.beams,
-                    depth_min=trainer.ocfg.depth_min,
-                    depth_max=trainer.ocfg.depth_max,
-                    compute_chamfer=compute_chamfer,
-                )
+            pv = evaluate_frame(
+                color, out.depth, fr.gt_image, fr.beams,
+                depth_min=trainer.ocfg.depth_min,
+                depth_max=trainer.ocfg.depth_max,
+                compute_chamfer=compute_chamfer,
             )
+            if lpips_fn is not None:
+                pv["intensity_lpips"] = float(lpips_fn(
+                    jnp.clip(color[0], 0.0, 1.0),
+                    fr.gt_image[1] * fr.gt_image[0],
+                ))
+            per.append(pv)
         m = mean_metrics(per)
         results[name] = m
         results[f"per_view_{name}"] = {
@@ -238,9 +272,27 @@ def measure_fps(scene, state, trainer, logger, warmup: int = 5):
 
 def main(argv=None):
     cfg, args = build_config(argv)
-    logger = get_logger(cfg.model_path)
-    with open(os.path.join(cfg.model_path, "cfg_args.json"), "w") as f:
-        json.dump(vars(args), f, indent=2, default=str)
+
+    # multi-host: couple the process fleet BEFORE any JAX backend use
+    # (jax.distributed.initialize + platform pinning, parallel/runtime.py)
+    rt = None
+    if args.num_processes > 1 or args.mp_platform or args.mp_local_devices:
+        from ..parallel.runtime import RuntimeConfig, init_runtime
+
+        rt = init_runtime(RuntimeConfig(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+            platform=args.mp_platform,
+            local_device_count=args.mp_local_devices,
+        ))
+    is_coord = rt.is_coordinator if rt is not None else True
+
+    logger = get_logger(cfg.model_path,
+                        suffix="" if is_coord else f".p{args.process_id}")
+    if is_coord:
+        with open(os.path.join(cfg.model_path, "cfg_args.json"), "w") as f:
+            json.dump(vars(args), f, indent=2, default=str)
 
     import jax
     import jax.numpy as jnp
@@ -257,16 +309,43 @@ def main(argv=None):
         f"{int(scene.field.valid.sum())} anchors, voxel {scene.field.voxel_size:.4f}"
     )
 
-    trainer = Trainer(variant="surfel" if args.surfel else "beam",
-                      mcfg=cfg.model, ocfg=cfg.opt, rcfg=cfg.raster,
-                      bg=jnp.zeros((cfg.model.color_channel,), jnp.float32))
+    bg = jnp.zeros((cfg.model.color_channel,), jnp.float32)
+    variant = "surfel" if args.surfel else "beam"
+    dp = args.data_parallel
+    if rt is not None and dp == 0:
+        dp = len(jax.devices())
+    mesh = dp_batch = None
+    if dp > 1 or rt is not None or (dp == 1 and args.dp_batch > 0):
+        from ..parallel.mesh import make_mesh
+        from ..parallel.shard import DPTrainer
+
+        mesh = (rt.global_mesh(data=dp) if rt is not None
+                else make_mesh(data=dp, tile=1))
+        dp_batch = args.dp_batch or dp
+        if dp_batch % dp or (rt is not None and dp_batch % rt.num_processes):
+            raise ValueError(
+                f"--dp_batch {dp_batch} must be divisible by the data-axis "
+                f"size {dp}"
+                + (f" and by {rt.num_processes} hosts" if rt is not None else "")
+            )
+        trainer = DPTrainer(variant=variant, mcfg=cfg.model, ocfg=cfg.opt,
+                            rcfg=cfg.raster, bg=bg, mesh=mesh)
+        logger.info(f"data-parallel: {dp}-device mesh"
+                    + (f" across {rt.num_processes} hosts" if rt else "")
+                    + f", {dp_batch} frames/step")
+    else:
+        trainer = Trainer(variant=variant, mcfg=cfg.model, ocfg=cfg.opt,
+                          rcfg=cfg.raster, bg=bg)
     state = init_train_state(scene.field, cfg.model)
+    if rt is not None:
+        state = rt.replicate_tree(state, mesh)
 
     if args.load_iteration is not None:
         # eval-only: metric sweep + FPS + saved PNG renders
         run_eval(scene, state, trainer, cfg, logger,
                  compute_chamfer=args.eval_chamfer,
-                 refiner_path=args.raydrop_refiner)
+                 refiner_path=args.raydrop_refiner,
+                 lpips_weights=args.lpips_weights)
         measure_fps(scene, state, trainer, logger)
         render_sets(scene, state, trainer, cfg, logger)
         if args.dump_renders:
@@ -275,13 +354,15 @@ def main(argv=None):
     first_iter = 0
     if args.start_checkpoint is not None:
         state = scene.load_train_state(args.start_checkpoint, like=state)
+        if rt is not None:
+            state = rt.replicate_tree(state, mesh)
         first_iter = args.start_checkpoint
         logger.info(f"resumed from iteration {first_iter}")
 
     from ..utils.profiling import StepTimer, TensorBoardLogger, trace as jtrace
 
     tb = TensorBoardLogger(os.path.join(cfg.model_path, "tb")
-                           if args.tensorboard else None)
+                           if args.tensorboard and is_coord else None)
     timer = StepTimer().start()
     profile_ctx = None
 
@@ -294,10 +375,24 @@ def main(argv=None):
         if args.profile_steps and it == first_iter + 2:   # skip compile step
             profile_ctx = jtrace(os.path.join(cfg.model_path, "trace"))
             profile_ctx.__enter__()
-        if not frame_stack:
-            frame_stack = list(range(len(scene.data.train_frames)))
-        fidx = frame_stack.pop(rng.randint(0, len(frame_stack) - 1))
-        state, metrics = trainer.step(state, scene.data.train_frames[fidx], it)
+        if mesh is not None:
+            # DP: deterministic epoch-shuffled global batch, identical on
+            # every host; each host stacks only its own slice
+            from ..lidar.frames import stack_frames
+            from ..parallel.runtime import frame_schedule
+
+            idx = frame_schedule(cfg.seed, it - 1, dp_batch,
+                                 len(scene.data.train_frames))
+            loc = rt.local_indices(idx) if rt is not None else idx
+            fb = stack_frames([scene.data.train_frames[i] for i in loc])
+            if rt is not None:
+                fb = rt.shard_batch(fb, mesh)
+            state, metrics = trainer.step(state, fb, it)
+        else:
+            if not frame_stack:
+                frame_stack = list(range(len(scene.data.train_frames)))
+            fidx = frame_stack.pop(rng.randint(0, len(frame_stack) - 1))
+            state, metrics = trainer.step(state, scene.data.train_frames[fidx], it)
         if profile_ctx is not None and it >= first_iter + 1 + args.profile_steps:
             jax.block_until_ready(state.params["anchor"])
             profile_ctx.__exit__(None, None, None)
@@ -330,22 +425,45 @@ def main(argv=None):
                 f"iter {it}: densify +{int(dstats.n_grown)} "
                 f"-{int(dstats.n_pruned)} anchors"
             )
+        # under a multi-host runtime, eval/saves run coordinator-only on a
+        # host-local copy (a fresh jit on the global arrays from a single
+        # process would hang waiting for the other hosts)
+        def _host(s):
+            return jax.tree.map(np.asarray, s) if rt is not None else s
+
         if it in cfg.test_iterations:
-            run_eval(scene, state, trainer, cfg, logger,
-                     compute_chamfer=args.eval_chamfer, tb=tb, step=it)
+            if is_coord:
+                run_eval(scene, _host(state), trainer, cfg, logger,
+                         compute_chamfer=args.eval_chamfer, tb=tb, step=it,
+                         lpips_weights=args.lpips_weights)
+            if rt is not None:
+                rt.sync("eval")
         if it in cfg.save_iterations:
-            path = scene.save(state.params, state.valid, it)
-            logger.info(f"saved snapshot to {path}")
+            if is_coord:
+                hs = _host(state)
+                path = scene.save(hs.params, hs.valid, it)
+                logger.info(f"saved snapshot to {path}")
+            if rt is not None:
+                rt.sync("save")
         if it in cfg.checkpoint_iterations:
-            path = scene.save_train_state(state, it)
-            logger.info(f"saved training checkpoint to {path}")
+            if is_coord:
+                path = scene.save_train_state(_host(state), it)
+                logger.info(f"saved training checkpoint to {path}")
+            if rt is not None:
+                rt.sync("checkpoint")
 
     if profile_ctx is not None:
         profile_ctx.__exit__(None, None, None)
-    run_eval(scene, state, trainer, cfg, logger, compute_chamfer=args.eval_chamfer)
-    measure_fps(scene, state, trainer, logger)
-    if args.dump_renders:
-        dump_renders(scene, state, trainer, cfg, logger)
+    if rt is not None:
+        state = jax.tree.map(np.asarray, state)
+        rt.sync("end-of-training")
+    if is_coord:
+        run_eval(scene, state, trainer, cfg, logger,
+                 compute_chamfer=args.eval_chamfer,
+                 lpips_weights=args.lpips_weights)
+        measure_fps(scene, state, trainer, logger)
+        if args.dump_renders:
+            dump_renders(scene, state, trainer, cfg, logger)
     tb.close()
     if args.warmup:
         # two-phase restart (train.py:635-638): re-train with the saved PLY

@@ -67,6 +67,55 @@ class StepMetrics(NamedTuple):
     n_overflow: jnp.ndarray
 
 
+def frame_loss(
+    params, proxy, valid, step, frame: LidarFrame,
+    bg, mcfg: ModelConfig, rcfg: RasterConfig, ocfg: OptConfig,
+    variant: str = "beam",
+):
+    """Per-frame render + 5-term loss (train.py:150-203). Shared by the
+    single-frame step below and the data-parallel vmapped step
+    (parallel/shard.py). `proxy` is the zeros densification-gradient probe
+    added to the unit-sphere means (surfel: world means).
+
+    variant="surfel" renders through the 2DGS surfel rasterizer and adds
+    the 2DGS distortion + normal-consistency regularizers (the reference's
+    surfel kernels compute those channels, surfel forward.cu:495-543, but
+    its training glue was never released — weights follow the 2DGS paper,
+    iteration-gated via ocfg.dist_from/normal_from)."""
+    if variant == "surfel":
+        from ..models.field import render_field_surfel
+        from .losses import normal_consistency_loss
+
+        out, ng, anchor_vis = render_field_surfel(
+            params, valid, frame, mcfg, rcfg, bg, mean_proxy=proxy
+        )
+    else:
+        out, ng, anchor_vis = render_field(
+            params, valid, frame, mcfg, rcfg, bg, sphere_proxy=proxy
+        )
+    lt = lidar_losses(
+        out.color, out.depth, frame.gt_image, ng.scaling[:, :2]
+        if variant == "surfel" else ng.scaling, ng.mask,
+        lambda_dssim=ocfg.lambda_dssim,
+        raydrop_lambda=ocfg.raydrop_lambda,
+        scale_reg=ocfg.scale_reg,
+        grad_clip_x=ocfg.grad_clip_x,
+        pixel_mask=frame.pixel_mask,
+    )
+    if variant == "surfel":
+        dist_w = jnp.where(step >= ocfg.dist_from, ocfg.dist_lambda, 0.0)
+        norm_w = jnp.where(step >= ocfg.normal_from, ocfg.normal_lambda, 0.0)
+        hit = frame.gt_image[0]
+        if frame.pixel_mask is not None:
+            hit = hit * frame.pixel_mask
+        dist_loss = jnp.sum(out.distortion * hit) / jnp.maximum(jnp.sum(hit), 1.0)
+        nc_loss = normal_consistency_loss(
+            out.normal, out.depth, frame.beams, frame.W, hit
+        )
+        lt = lt._replace(total=lt.total + dist_w * dist_loss + norm_w * nc_loss)
+    return lt.total, (out, ng, anchor_vis, lt)
+
+
 def train_step(
     state: TrainState,
     frame: LidarFrame,
@@ -78,51 +127,14 @@ def train_step(
     variant: str = "beam",
 ):
     """One optimization step. Pure function of (state, frame); jit with
-    static cfgs via functools.partial or Trainer below.
-
-    variant="surfel" trains through the 2DGS surfel rasterizer with the
-    2DGS distortion + normal-consistency regularizers (the reference's
-    surfel kernels compute those channels, surfel forward.cu:495-543, but
-    its training glue was never released — weights follow the 2DGS paper,
-    iteration-gated via ocfg.dist_from/normal_from)."""
+    static cfgs via functools.partial or Trainer below."""
     C = state.params["anchor"].shape[0]
     k = mcfg.n_offsets
     proxy0 = jnp.zeros((C * k, 3), jnp.float32)
 
     def loss_fn(params, proxy):
-        if variant == "surfel":
-            from ..models.field import render_field_surfel
-            from .losses import normal_consistency_loss
-
-            out, ng, anchor_vis = render_field_surfel(
-                params, state.valid, frame, mcfg, rcfg, bg, mean_proxy=proxy
-            )
-        else:
-            out, ng, anchor_vis = render_field(
-                params, state.valid, frame, mcfg, rcfg, bg, sphere_proxy=proxy
-            )
-        lt = lidar_losses(
-            out.color, out.depth, frame.gt_image, ng.scaling[:, :2]
-            if variant == "surfel" else ng.scaling, ng.mask,
-            lambda_dssim=ocfg.lambda_dssim,
-            raydrop_lambda=ocfg.raydrop_lambda,
-            scale_reg=ocfg.scale_reg,
-            grad_clip_x=ocfg.grad_clip_x,
-            pixel_mask=frame.pixel_mask,
-        )
-        if variant == "surfel":
-            it = state.step
-            dist_w = jnp.where(it >= ocfg.dist_from, ocfg.dist_lambda, 0.0)
-            norm_w = jnp.where(it >= ocfg.normal_from, ocfg.normal_lambda, 0.0)
-            hit = frame.gt_image[0]
-            if frame.pixel_mask is not None:
-                hit = hit * frame.pixel_mask
-            dist_loss = jnp.sum(out.distortion * hit) / jnp.maximum(jnp.sum(hit), 1.0)
-            nc_loss = normal_consistency_loss(
-                out.normal, out.depth, frame.beams, frame.W, hit
-            )
-            lt = lt._replace(total=lt.total + dist_w * dist_loss + norm_w * nc_loss)
-        return lt.total, (out, ng, anchor_vis, lt)
+        return frame_loss(params, proxy, state.valid, state.step, frame,
+                          bg, mcfg, rcfg, ocfg, variant)
 
     (_, (out, ng, anchor_vis, lt)), (grads, proxy_grad) = jax.value_and_grad(
         loss_fn, argnums=(0, 1), has_aux=True

@@ -18,7 +18,7 @@ from lidargs_tpu.lidar.pano import ray_dirs_from_beams
 H, W = 8, 128
 
 
-def _make_dataset(root, n_frames=50, data_label="waymo"):
+def _make_dataset(root, n_frames=50, data_label="waymo", H=H, W=W):
     """Synthetic AlignMiF layout: transforms_{train,test}.json + npy range
     images [H,W,3] with channels (_, intensity, depth)."""
     rng = np.random.default_rng(0)
@@ -262,3 +262,80 @@ def test_cli_refined_eval(tmp_path):
         res = _json.load(f)
     assert "test" in res and "raydrop_acc" in res["test"]
     assert np.isfinite(res["test"]["intensity_psnr"])
+
+
+def test_cli_lpips_eval(tmp_path):
+    """--lpips_weights adds the VGG-LPIPS metric to the eval sweep
+    (train.py:519-529). Random weights (real ones need egress); the metric
+    must be finite — the wiring is what's under test. Needs >=16 rows for
+    the 4 VGG maxpools, so the dataset is built taller."""
+    import jax
+
+    from lidargs_tpu.train import cli
+    from lidargs_tpu.train.lpips import random_lpips_params
+
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    _make_dataset(data_dir, n_frames=12, H=16, W=128)
+
+    p = random_lpips_params(jax.random.key(0))
+    wz = {}
+    for i, (w, b) in enumerate(zip(p["conv_w"], p["conv_b"])):
+        wz[f"conv{i}_w"] = np.asarray(w)
+        wz[f"conv{i}_b"] = np.asarray(b)
+    for i, w in enumerate(p["lin_w"]):
+        wz[f"lin{i}_w"] = np.asarray(w)
+    wpath = str(tmp_path / "lpips.npz")
+    np.savez(wpath, **wz)
+
+    model_dir = str(tmp_path / "out")
+    cli.main([
+        "-s", data_dir, "-m", model_dir,
+        "--num_frames", "12",
+        "--voxel_size", "8.0", "--anchor_capacity", "2048",
+        "--max_visible", "4096", "--tile_capacity", "64",
+        "--iterations", "4", "--test_iterations", "--save_iterations",
+        "--log_every", "10", "--lpips_weights", wpath,
+    ])
+    import json as _json
+    with open(os.path.join(model_dir, "results.json")) as f:
+        res = _json.load(f)
+    assert "intensity_lpips" in res["test"]
+    assert np.isfinite(res["test"]["intensity_lpips"])
+
+
+def test_cli_data_parallel_parity(tmp_path):
+    """VERDICT r1 item 5: `--data_parallel N` trains from the CLI, and the
+    8-device mesh run matches a 1-device run of the same global batch
+    (same deterministic frame schedule; only the grad psum order differs).
+    """
+    from lidargs_tpu.train import cli
+
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    _make_dataset(data_dir)
+
+    base = [
+        "-s", data_dir,
+        "--iterations", "6",
+        "--voxel_size", "8.0",
+        "--anchor_capacity", "2048",
+        "--max_visible", "4096",
+        "--tile_capacity", "64",
+        "--test_iterations",            # none
+        "--save_iterations",            # none
+        "--log_every", "3",
+        "--dp_batch", "8",
+    ]
+    s_mesh = cli.main(base + ["-m", str(tmp_path / "m8"),
+                              "--data_parallel", "8"])
+    s_one = cli.main(base + ["-m", str(tmp_path / "m1"),
+                             "--data_parallel", "1"])
+    assert int(s_mesh.step) == int(s_one.step) == 6
+    for k in ("anchor", "offset", "feat", "scaling"):
+        err = np.max(np.abs(np.asarray(s_mesh.params[k])
+                            - np.asarray(s_one.params[k])))
+        assert err < 1e-5, f"{k}: mesh vs single-device max err {err}"
+    # the DP runs logged their mesh
+    log = open(str(tmp_path / "m8" / "outputs.log")).read()
+    assert "data-parallel: 8-device mesh, 8 frames/step" in log

@@ -1,0 +1,128 @@
+"""LPIPS(VGG) component tests.
+
+Pretrained weights are unavailable here (zero egress), so the architecture
+is cross-checked against a live torch re-implementation of the reference's
+lpipsPyTorch modules with the SAME random weights loaded into both — this
+pins conv/pool/normalize/lin semantics exactly; real weights then slot in
+via tools/convert_lpips_weights.py without touching the math.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lidargs_tpu.train.lpips import (
+    LIN_CHANNELS, load_lpips_params, lpips, lpips_single, random_lpips_params,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return random_lpips_params(jax.random.key(0))
+
+
+def test_lpips_zero_for_identical_and_positive_for_different(params):
+    x = jax.random.uniform(jax.random.key(1), (1, 3, 32, 64))
+    y = jax.random.uniform(jax.random.key(2), (1, 3, 32, 64))
+    d_same = float(jax.jit(lpips)(params, x, x)[0])
+    d_diff = float(jax.jit(lpips)(params, x, y)[0])
+    assert abs(d_same) < 1e-9
+    assert d_diff > 1e-6
+    # symmetric metric
+    d_rev = float(jax.jit(lpips)(params, y, x)[0])
+    np.testing.assert_allclose(d_diff, d_rev, rtol=1e-5)
+
+
+def test_lpips_matches_torch_reference(params):
+    """Bit-for-bit architecture parity vs a torch build of the reference's
+    lpipsPyTorch stack (networks.py BaseNet/VGG16 + lpips.py forward) with
+    identical weights."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512]
+    layers = []
+    ci = 0
+    cin = 3
+    for v in cfg:
+        if v == "M":
+            layers.append(tnn.MaxPool2d(2, 2))
+            continue
+        conv = tnn.Conv2d(cin, v, 3, padding=1)
+        with torch.no_grad():
+            conv.weight.copy_(torch.from_numpy(np.asarray(params["conv_w"][ci])))
+            conv.bias.copy_(torch.from_numpy(np.asarray(params["conv_b"][ci])))
+        layers.append(conv)
+        layers.append(tnn.ReLU())
+        ci += 1
+        cin = v
+    features = tnn.Sequential(*layers)
+    # .features indices of the tapped relus in the torchvision layout differ
+    # from this flat build; tap after each named relu instead
+    tap_after_conv = (1, 3, 6, 9, 12)
+
+    def torch_feats(x):
+        out = []
+        ci = 0
+        for layer in features:
+            x = layer(x)
+            if isinstance(layer, tnn.ReLU):
+                if ci in tap_after_conv:
+                    out.append(x)
+                ci += 1
+        return out
+
+    shift = torch.tensor([-0.030, -0.088, -0.188])[None, :, None, None]
+    scale = torch.tensor([0.458, 0.448, 0.450])[None, :, None, None]
+
+    def torch_lpips(x, y):
+        fx = torch_feats((x - shift) / scale)
+        fy = torch_feats((y - shift) / scale)
+        total = 0.0
+        for fxi, fyi, lw in zip(fx, fy, params["lin_w"]):
+            nx = fxi / (fxi.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            ny = fyi / (fyi.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            d = (nx - ny) ** 2
+            w = torch.from_numpy(np.asarray(lw))
+            lin = tnn.functional.conv2d(d, w)
+            total = total + lin.mean(dim=(1, 2, 3))
+        return total
+
+    x = np.random.default_rng(3).uniform(size=(2, 3, 32, 64)).astype(np.float32)
+    y = np.random.default_rng(4).uniform(size=(2, 3, 32, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = torch_lpips(torch.from_numpy(x), torch.from_numpy(y)).numpy()
+    got = np.asarray(jax.jit(lpips)(params, jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_lpips_single_tiles_grayscale(params):
+    a = jax.random.uniform(jax.random.key(5), (16, 32))
+    b = jax.random.uniform(jax.random.key(6), (16, 32))
+    d = float(jax.jit(lpips_single)(params, a, b))
+    assert np.isfinite(d) and d > 0
+    d3 = float(jax.jit(lpips)(
+        params, jnp.tile(a[None, None], (1, 3, 1, 1)),
+        jnp.tile(b[None, None], (1, 3, 1, 1)))[0])
+    np.testing.assert_allclose(d, d3, rtol=1e-6)
+
+
+def test_lpips_weights_roundtrip(tmp_path, params):
+    """The npz hook loads what the converter writes."""
+    out = {}
+    for i, (w, b) in enumerate(zip(params["conv_w"], params["conv_b"])):
+        out[f"conv{i}_w"] = np.asarray(w)
+        out[f"conv{i}_b"] = np.asarray(b)
+    for i, w in enumerate(params["lin_w"]):
+        out[f"lin{i}_w"] = np.asarray(w)
+    path = str(tmp_path / "w.npz")
+    np.savez(path, **out)
+    loaded = load_lpips_params(path)
+    assert [w.shape[1] for w in loaded["lin_w"]] == list(LIN_CHANNELS)
+    x = jax.random.uniform(jax.random.key(7), (1, 3, 16, 32))
+    y = jax.random.uniform(jax.random.key(8), (1, 3, 16, 32))
+    np.testing.assert_allclose(
+        np.asarray(lpips(loaded, x, y)), np.asarray(lpips(params, x, y)),
+        rtol=1e-6,
+    )
