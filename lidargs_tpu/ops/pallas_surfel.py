@@ -7,11 +7,22 @@ exact per-pixel semantics of the surfel renderCUDA walk (surfel
 forward.cu:415-543): ray-plane intersection depth, rho2d low-pass fallback,
 and the auxiliary accumulators (normal, median depth, 2DGS distortion).
 
-Backward: rather than hand-deriving the 861-line CUDA backward
-(surfel backward.cu), the custom VJP recomputes the same math with the XLA
-chunk scan (ops/surfel.py surfel_composite) and lets JAX differentiate it —
-the kernel accelerates inference/eval renders ~5x while training gradients
-remain the machine-derived deterministic VJP.
+Backward: a hand-derived single forward-order Pallas pass (same carry
+structure as the beam _bwd_kernel) covering the reference's 861-line CUDA
+backward (surfel backward.cu:370-692): the ray-plane intersection chain
+(dλ2/dTw, dλ2/dnormal), the rho2d low-pass fallback, and the distortion
+accumulator. The distortion gradients collapse to closed forms that keep
+the pass single-traversal:
+
+  * d dist / d m_k     = 2 w_k (m_k · Wtot − M1tot)          (all-pairs form)
+  * d dist / d w_k|ind = ψ_k + S_k  with  S_k the "pairs behind k" sum,
+    computable from the running prefixes + the saved M1/M2 totals;
+  * the suffix Σ_{i>k} w_i (ψ_i + S_i) needs Σ_i w_i S_i — which equals
+    dist itself (both enumerate the pairwise w_i w_j (m_i − m_j)^2 sum),
+    so no extra total has to be saved.
+
+The machine-derived VJP of the XLA chunk scan (ops/surfel.py) remains as
+the test oracle (_xla_rows).
 """
 from __future__ import annotations
 
@@ -35,7 +46,8 @@ def _interpret() -> bool:
 
 
 def _surfel_alpha(s, pix, count, base_row, ch, C, cfg: RasterConfig):
-    """[CH, F] chunk -> (alpha, passed, depth, m, feat cols, normal cols).
+    """[CH, F] chunk -> (alpha, passed, depth, m, feat cols, normal cols,
+    row indices, geometry-intermediates dict for the backward pass).
     Mirrors ops/surfel.py _surfel_chunk / surfel forward.cu:415-492."""
     dirx, diry, dirz, px, py = pix
     col = lambda i: s[:, i : i + 1]
@@ -51,16 +63,20 @@ def _surfel_alpha(s, pix, count, base_row, ch, C, cfg: RasterConfig):
     y0, y1 = col(rect0 + 2), col(rect0 + 3)
     validf = col(S.validf(C))
 
-    rho_r = jnp.sqrt(jnp.maximum(twx * twx + twy * twy + twz * twz, 1e-20))
+    tw_sq = twx * twx + twy * twy + twz * twz
+    rho_r = jnp.sqrt(jnp.maximum(tw_sq, 1e-20))
     lam = twx * nx + twy * ny + twz * nz                       # [CH, 1]
     cos2 = nx * dirx + ny * diry + nz * dirz                   # [CH, LANES]
     hit = cos2 != 0.0
-    lam2 = lam / jnp.where(hit, cos2, 1.0)
+    cos2s = jnp.where(hit, cos2, 1.0)
+    lam2 = lam / cos2s
     dpx = lam2 * dirx - twx
     dpy = lam2 * diry - twy
     dpz = lam2 * dirz - twz
-    tu_tu = jnp.maximum(tux * tux + tuy * tuy + tuz * tuz, 1e-20)
-    tv_tv = jnp.maximum(tvx * tvx + tvy * tvy + tvz * tvz, 1e-20)
+    tu_sq = tux * tux + tuy * tuy + tuz * tuz
+    tv_sq = tvx * tvx + tvy * tvy + tvz * tvz
+    tu_tu = jnp.maximum(tu_sq, 1e-20)
+    tv_tv = jnp.maximum(tv_sq, 1e-20)
     sx = (dpx * tux + dpy * tuy + dpz * tuz) / tu_tu
     sy = (dpx * tvx + dpy * tvy + dpz * tvz) / tv_tv
     rho3d = sx * sx + sy * sy
@@ -74,7 +90,9 @@ def _surfel_alpha(s, pix, count, base_row, ch, C, cfg: RasterConfig):
     rho = jnp.where(pos, jnp.minimum(rho3d, rho2d), rho2d)
     depth = jnp.where(use3d, lam2, rho_r)
 
-    alpha = jnp.minimum(cfg.alpha_clamp, op * jnp.exp(-0.5 * rho))
+    e = jnp.exp(-0.5 * rho)
+    araw = op * e
+    alpha = jnp.minimum(cfg.alpha_clamp, araw)
     rowi = jax.lax.broadcasted_iota(jnp.int32, (ch, LANES), 0) + base_row
     passed = (
         (rowi < count)
@@ -87,7 +105,15 @@ def _surfel_alpha(s, pix, count, base_row, ch, C, cfg: RasterConfig):
     fn, nn = cfg.surfel_far, cfg.surfel_near
     m = fn / (fn - nn) * (1.0 - nn / jnp.maximum(depth, 1e-9))
     feat = [col(S.FEAT0 + c) for c in range(C)]
-    return alpha, passed, depth, m, feat, (nx, ny, nz), rowi
+    gm = dict(
+        tw=(twx, twy, twz), n=(nx, ny, nz), tu=(tux, tuy, tuz),
+        tv=(tvx, tvy, tvz), op=op,
+        tw_sq=tw_sq, rho_r=rho_r, lam2=lam2, cos2s=cos2s, hit=hit,
+        dp=(dpx, dpy, dpz), tu_sq=tu_sq, tv_sq=tv_sq,
+        tu_tu=tu_tu, tv_tv=tv_tv, sx=sx, sy=sy,
+        dxc=dxc, dyc=dyc, use3d=use3d, e=e, araw=araw,
+    )
+    return alpha, passed, depth, m, feat, (nx, ny, nz), rowi, gm
 
 
 def _fwd_kernel(counts_ref, inst_ref, pix_ref, out_ref, *, C, CH, cfg):
@@ -102,7 +128,7 @@ def _fwd_kernel(counts_ref, inst_ref, pix_ref, out_ref, *, C, CH, cfg):
     def body(st):
         (i, T, done, cacc, dacc, nacc, m1, m2, dist, med) = st
         s = inst_ref[0, pl.ds(i * CH, CH), :]
-        alpha, passed, depth, m, feat, nrm, rowi = _surfel_alpha(
+        alpha, passed, depth, m, feat, nrm, rowi, _gm = _surfel_alpha(
             s, pix, count, i * CH, CH, C, cfg
         )
         w, applied, P, T_new, done_new = _chunk_weights(
@@ -146,13 +172,248 @@ def _fwd_kernel(counts_ref, inst_ref, pix_ref, out_ref, *, C, CH, cfg):
         jnp.zeros((), jnp.int32), jnp.ones((1, LANES), jnp.float32), z(1),
         z(C), z(1), z(3), z(1), z(1), z(1), z(1),
     )
-    (_, T, _d, cacc, dacc, nacc, _m1, _m2, dist, med) = jax.lax.while_loop(
+    (_, T, _d, cacc, dacc, nacc, m1, m2, dist, med) = jax.lax.while_loop(
         cond, body, init
     )
+    # rows C+7/C+8 carry the M1/M2 totals — the backward pass turns its
+    # "pairs behind k" distortion sums into prefix arithmetic against them
     out_ref[0] = jnp.concatenate(
-        [cacc, dacc, T, nacc, med, dist,
-         jnp.zeros((OUT_ROWS - C - 7, LANES), jnp.float32)], 0
+        [cacc, dacc, T, nacc, med, dist, m1, m2,
+         jnp.zeros((OUT_ROWS - C - 9, LANES), jnp.float32)], 0
     )
+
+
+def _bwd_kernel(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
+                *, C, CH, K, F, cfg):
+    """Hand-derived surfel backward — single forward-order pass (the surfel
+    analogue of pallas_composite._bwd_tile, covering surfel
+    backward.cu:370-692). The chunk-entry transmittance is the running
+    carry; every "what's behind" term is `saved total − running prefix`.
+
+    Distortion chain (forward: dist = Σ_i w_i ψ_i with
+    ψ_i = m_i²A_i + M2pre_i − 2 m_i M1pre_i, an ordered-pairs sum
+    Σ_{j<i} w_i w_j (m_i−m_j)²):
+
+      ∂dist/∂w_k (w's independent) = ψ_k + S_k,
+        S_k = Σ_{i>k} w_i (m_i−m_k)²
+            = m_k²·W_after + M2after − 2 m_k M1after     (prefix + totals)
+      ∂dist/∂m_k = 2 w_k (m_k·Wtot − M1tot)              (all-pairs collapse)
+      Σ_i w_i S_i = dist itself (same pairwise sum), so the suffix
+        Σ_{i>k} w_i (ψ_i + S_i) = (dist − ΣD_incl) + (dist − ΣQ_incl).
+
+    Median depth: the forward selects the last applied instance with
+    P > 0.5 (a boolean select, like the oracle's jnp.where) — its cotangent
+    routes to that instance's depth, matched here by depth == saved median.
+    """
+    count = counts_ref[pl.program_id(0)]
+    pixb = pix_ref[0]
+    pix = (pixb[0:1], pixb[1:2], pixb[2:3], pixb[3:4], pixb[4:5])
+    res = res_ref[0]
+    totc = res[0:C]
+    totd = res[C : C + 1]
+    Tfin = res[C + 1 : C + 2]
+    totn = res[C + 2 : C + 5]
+    med = res[C + 5 : C + 6]
+    totdist = res[C + 6 : C + 7]
+    totm1 = res[C + 7 : C + 8]
+    totm2 = res[C + 8 : C + 9]
+    g = g_ref[0]
+    gc = g[0:C]
+    gd = g[C : C + 1]
+    gT = g[C + 1 : C + 2]
+    gn = g[C + 2 : C + 5]
+    gmed = g[C + 5 : C + 6]
+    gdist = g[C + 6 : C + 7]
+    gm1 = g[C + 7 : C + 8]
+    gm2 = g[C + 8 : C + 9]
+    Wtot = 1.0 - Tfin
+    dirx, diry, dirz = pix[0], pix[1], pix[2]
+
+    # dead-tail chunks contribute d_s = 0: pre-zero and early-exit
+    dinst_ref[0] = jnp.zeros((K, F), jnp.float32)
+    nch = pl.cdiv(count, CH)
+
+    def cond(st):
+        return (st[0] < nch) & (jnp.min(st[2]) < 0.5)
+
+    def body(st):
+        (i, T, done, Ac, Ad, An, Am1, Am2, AD, AQ) = st
+        s = inst_ref[0, pl.ds(i * CH, CH), :]
+        alpha, passed, depth, m, feat, nrm, rowi, gme = _surfel_alpha(
+            s, pix, count, i * CH, CH, C, cfg
+        )
+        w, applied, P, T_new, done_new = _chunk_weights(
+            alpha, passed, T, done, cfg, CH
+        )
+        Z = jnp.zeros((CH, LANES), jnp.float32)
+
+        wc = [w * feat[c] for c in range(C)]
+        wd = w * depth
+        wn = [w * nrm[k] for k in range(3)]
+        wm = w * m
+        wm2 = wm * m
+
+        incl = lambda x: _cumsum(x, CH)
+        excl = lambda x: jnp.concatenate(
+            [jnp.zeros((1, LANES), jnp.float32), _cumsum(x, CH)[: CH - 1]], 0
+        )
+        m1pre = Am1 + excl(wm)
+        m2pre = Am2 + excl(wm2)
+        Apre = 1.0 - P                       # Σ_{j<k} w_j (applied prefix)
+        psi = m * m * Apre + m2pre - 2.0 * m * m1pre
+        Dk = w * psi
+        Wafter = P - w - Tfin                # Wtot − Apre − w
+        m1after = totm1 - m1pre - wm
+        m2after = totm2 - m2pre - wm2
+        Sk = m * m * Wafter - 2.0 * m * m1after + m2after
+        q = w * Sk
+
+        after_c = [totc[c : c + 1] - Ac[c : c + 1] - incl(wc[c]) for c in range(C)]
+        after_d = totd - Ad - incl(wd)
+        after_n = [totn[k : k + 1] - An[k : k + 1] - incl(wn[k]) for k in range(3)]
+        dist_after = totdist - AD - incl(Dk)
+        q_after = totdist - AQ - incl(q)     # Σ_i w_i S_i == dist
+        after_m1 = totm1 - Am1 - incl(wm)
+        after_m2 = totm2 - Am2 - incl(wm2)
+
+        direct = (
+            sum(gc[c : c + 1] * feat[c] for c in range(C))
+            + gd * depth
+            + sum(gn[k : k + 1] * nrm[k] for k in range(3))
+            + gdist * (psi + Sk)
+            + gm1 * m + gm2 * m * m
+        )
+        behind = (
+            sum(gc[c : c + 1] * after_c[c] for c in range(C))
+            + gd * after_d
+            + sum(gn[k : k + 1] * after_n[k] for k in range(3))
+            + gdist * (dist_after + q_after)
+            + gm1 * after_m1 + gm2 * after_m2
+        )
+        inv1m = 1.0 / (1.0 - alpha)
+        dalpha = P * direct - inv1m * (behind + gT * Tfin)
+        live = applied & (gme["araw"] <= cfg.alpha_clamp)
+        dalpha = jnp.where(live, dalpha, Z)
+
+        # --- value (w-weighted) chains: m, depth, median ---
+        d_m = gdist * 2.0 * w * (m * Wtot - totm1) + gm1 * w + gm2 * 2.0 * wm
+        cand = applied & (P > 0.5)
+        med_sel = cand & (depth == med)
+        fn_, nn_ = cfg.surfel_far, cfg.surfel_near
+        dm_ddep = jnp.where(
+            depth > 1e-9, fn_ / (fn_ - nn_) * nn_ / (depth * depth), 0.0
+        )
+        d_dep = gd * w + d_m * dm_ddep + jnp.where(med_sel, gmed, Z)
+
+        # --- alpha chain: alpha = min(clamp, op·e), e = exp(−ρ/2) ---
+        dop_pix = dalpha * gme["e"]
+        drho = -0.5 * dalpha * gme["araw"]
+        use3d = gme["use3d"]
+        drho3d = jnp.where(use3d, drho, Z)
+        drho2d = jnp.where(use3d, Z, drho)
+
+        # ρ2d = FIS·(40 dxc² + 100 dyc²), dxc = cen_x − px
+        fis = cfg.filter_inv_square
+        d_cenx = jnp.sum(fis * 80.0 * gme["dxc"] * drho2d, 1, keepdims=True)
+        d_ceny = jnp.sum(fis * 200.0 * gme["dyc"] * drho2d, 1, keepdims=True)
+
+        # ρ3d = sx² + sy², sx = (dp·Tu)/max(|Tu|²,ε) (quotient rule; the
+        # radial term dies where the ε-clamp is active, like autodiff of max)
+        sx, sy = gme["sx"], gme["sy"]
+        dsx = 2.0 * sx * drho3d
+        dsy = 2.0 * sy * drho3d
+        dp, tu, tv = gme["dp"], gme["tu"], gme["tv"]
+        twv, nv = gme["tw"], gme["n"]
+        tu_tu, tv_tv = gme["tu_tu"], gme["tv_tv"]
+        no_clip_u = (gme["tu_sq"] > 1e-20).astype(jnp.float32)
+        no_clip_v = (gme["tv_sq"] > 1e-20).astype(jnp.float32)
+        ddp = [dsx * tu[a] / tu_tu + dsy * tv[a] / tv_tv for a in range(3)]
+        d_tu = [
+            jnp.sum(dsx * (dp[a] - no_clip_u * 2.0 * sx * tu[a]) / tu_tu,
+                    1, keepdims=True)
+            for a in range(3)
+        ]
+        d_tv = [
+            jnp.sum(dsy * (dp[a] - no_clip_v * 2.0 * sy * tv[a]) / tv_tv,
+                    1, keepdims=True)
+            for a in range(3)
+        ]
+
+        # depth = use3d ? λ2 : ρ_r;  dp = λ2·dir − Tw;  λ2 = (Tw·n)/cos2
+        d_lam2 = jnp.where(use3d, d_dep, Z)
+        d_rho_r = jnp.sum(jnp.where(use3d, Z, d_dep), 1, keepdims=True)
+        d_lam2 = d_lam2 + ddp[0] * dirx + ddp[1] * diry + ddp[2] * dirz
+        cos2s, hit, lam2 = gme["cos2s"], gme["hit"], gme["lam2"]
+        d_lam_pix = d_lam2 / cos2s
+        d_cos2 = jnp.where(hit, -d_lam2 * lam2 / cos2s, Z)
+        d_lam = jnp.sum(d_lam_pix, 1, keepdims=True)
+        dirv = (dirx, diry, dirz)
+        tw_ok = (gme["tw_sq"] > 1e-20).astype(jnp.float32)
+        d_tw, d_n = [], []
+        for a in range(3):
+            d_tw.append(
+                -jnp.sum(ddp[a], 1, keepdims=True)
+                + d_lam * nv[a]
+                + tw_ok * d_rho_r * twv[a] / gme["rho_r"]
+            )
+            d_n.append(
+                d_lam * twv[a]
+                + jnp.sum(d_cos2 * dirv[a], 1, keepdims=True)
+                + jnp.sum(w * gn[a : a + 1], 1, keepdims=True)
+            )
+        dop = jnp.sum(dop_pix, 1, keepdims=True)
+        d_feat = [jnp.sum(w * gc[c : c + 1], 1, keepdims=True) for c in range(C)]
+
+        zcol = jnp.zeros((CH, 1), jnp.float32)
+        pad = jnp.zeros((CH, F - (21 + C)), jnp.float32)
+        d_s = jnp.concatenate(
+            d_tu + d_tv + d_tw + d_n + [dop, zcol] + d_feat
+            + [d_cenx, d_ceny, zcol, zcol, zcol, zcol, zcol, pad],
+            axis=1,
+        )
+        dinst_ref[0, pl.ds(i * CH, CH), :] = d_s
+
+        Ac = Ac + jnp.concatenate(
+            [jnp.sum(wc[c], 0, keepdims=True) for c in range(C)], 0
+        )
+        Ad = Ad + jnp.sum(wd, 0, keepdims=True)
+        An = An + jnp.concatenate(
+            [jnp.sum(wn[k], 0, keepdims=True) for k in range(3)], 0
+        )
+        Am1 = Am1 + jnp.sum(wm, 0, keepdims=True)
+        Am2 = Am2 + jnp.sum(wm2, 0, keepdims=True)
+        AD = AD + jnp.sum(Dk, 0, keepdims=True)
+        AQ = AQ + jnp.sum(q, 0, keepdims=True)
+        return (i + 1, T_new, done_new, Ac, Ad, An, Am1, Am2, AD, AQ)
+
+    z = lambda r: jnp.zeros((r, LANES), jnp.float32)
+    init = (
+        jnp.zeros((), jnp.int32), jnp.ones((1, LANES), jnp.float32), z(1),
+        z(C), z(1), z(3), z(1), z(1), z(1), z(1),
+    )
+    jax.lax.while_loop(cond, body, init)
+
+
+def _bwd_call(inst, counts, pix, res, g, C: int, cfg: RasterConfig):
+    T, K, F = inst.shape
+    CH = cfg.pallas_chunk
+    kernel = functools.partial(_bwd_kernel, C=C, CH=CH, K=K, F=F, cfg=cfg)
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, F), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, K, F), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, K, F), jnp.float32),
+        interpret=_interpret(),
+    )(counts, inst, pix, res, g)
 
 
 def _xla_rows(inst, counts, pix, C: int, cfg: RasterConfig):
@@ -165,13 +426,13 @@ def _xla_rows(inst, counts, pix, C: int, cfg: RasterConfig):
     dirs = jnp.stack([pix[:, 0], pix[:, 1], pix[:, 2]], axis=-1)
     pix_x = pix[:, 3].astype(jnp.int32)
     pix_y = pix[:, 4].astype(jnp.int32)
-    (T, _done, color, dep, nrm, _m1, _m2, dist, med) = surfel_composite(
+    (T, _done, color, dep, nrm, m1, m2, dist, med) = surfel_composite(
         inst, inst_valid, dirs, pix_x, pix_y, C, cfg
     )
-    pad = jnp.zeros((Tn, OUT_ROWS - C - 7, LANES), jnp.float32)
+    pad = jnp.zeros((Tn, OUT_ROWS - C - 9, LANES), jnp.float32)
     return jnp.concatenate(
         [color, dep[:, None], T[:, None], nrm, med[:, None], dist[:, None],
-         pad], axis=1
+         m1[:, None], m2[:, None], pad], axis=1
     )
 
 
@@ -202,11 +463,20 @@ def surfel_composite_tiles(inst, counts, pix, C: int, cfg: RasterConfig):
 
 def _vjp_fwd(inst, counts, pix, C: int, cfg: RasterConfig):
     out = surfel_composite_tiles(inst, counts, pix, C, cfg)
-    return out, (inst, counts, pix)
+    return out, (inst, counts, pix, out)
 
 
 def _vjp_bwd(C, cfg, residuals, g):
-    inst, counts, pix = residuals
+    inst, counts, pix, out = residuals
+    dinst = _bwd_call(inst, counts, pix, out, g, C, cfg)
+    zero_counts = np.zeros(counts.shape, dtype=jax.dtypes.float0)
+    return (dinst, zero_counts, jnp.zeros_like(pix))
+
+
+def _xla_vjp_bwd(C, cfg, residuals, g):
+    """Autodiff-of-the-scan backward — retained as the oracle the kernel is
+    tested against (tests/test_surfel_training.py)."""
+    inst, counts, pix, _out = residuals
     _, vjp = jax.vjp(lambda x: _xla_rows(x, counts, pix, C, cfg), inst)
     (dinst,) = vjp(g)
     zero_counts = np.zeros(counts.shape, dtype=jax.dtypes.float0)

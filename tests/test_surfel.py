@@ -201,3 +201,54 @@ def test_surfel_pallas_matches_xla():
     gp = jax.jit(jax.grad(lambda p: loss(p, cfgp)))(pk)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
                                atol=5e-5, rtol=2e-3)
+
+
+def test_surfel_bwd_kernel_matches_autodiff_oracle():
+    """The hand-derived single-pass backward kernel (pallas_surfel
+    _bwd_kernel, covering surfel backward.cu:370-692) against autodiff of
+    the XLA chunk scan, with cotangents on EVERY output row — color, depth,
+    final_T, normal, median, distortion, M1/M2 — so all chains are hit:
+    ray-plane (dλ2/dTw, dλ2/dnormal), ρ2d center fallback, distortion
+    prefix/suffix terms, and the median equality-routing."""
+    from lidargs_tpu.ops.pallas_surfel import (
+        OUT_ROWS, _bwd_call, _xla_rows, surfel_composite_tiles,
+    )
+    from lidargs_tpu.ops.rasterize import _pix_blocks, _tile_pixels, bin_instances
+
+    cfg = replace(CFG, tile_capacity=64, pallas_chunk=8, max_visible=512)
+    H, W, C = 16, 256, 2
+    sc, scales2 = _surfel_scene(jax.random.key(21), n=160, H=H, W=W)
+    pk = _pack(sc, scales2, cfg=cfg)
+    S = SurfelCols
+    depth = pk[:, S.DEPTH]
+    _, sel = jax.lax.sort((depth, jnp.arange(pk.shape[0], dtype=jnp.int32)),
+                          num_keys=1, is_stable=True)
+    pkv = jnp.take(pk, sel, axis=0)
+    vvalid = pkv[:, S.validf(C)] > 0.0
+    gy, gx_ = cfg.grid_shape(H, W)
+    rect = pkv[:, S.rect(C)].astype(jnp.int32)
+    center = pkv[:, S.center(C)]
+    ids, counts, _ = bin_instances(rect, center, vvalid, cfg, gx_, gy)
+    Tn, K = ids.shape
+    inst = jnp.take(pkv, ids.reshape(-1), axis=0).reshape(Tn, K, -1)
+    pix_x, pix_y, dirs = _tile_pixels(H, W, cfg, gx_, gy, sc.beams)
+    blk = _pix_blocks(pix_x, pix_y, dirs)
+
+    # forward parity on the new M1/M2 rows too
+    out_k = jax.jit(lambda i: surfel_composite_tiles(i, counts, blk, C, cfg))(inst)
+    out_x = jax.jit(lambda i: _xla_rows(i, counts, blk, C, cfg))(inst)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               atol=1e-4, rtol=1e-4)
+
+    # cotangent on every row (incl. median + M1/M2)
+    g = jax.random.normal(jax.random.key(3), out_k.shape) * jnp.where(
+        jnp.arange(OUT_ROWS)[None, :, None] < C + 9, 1.0, 0.0
+    )
+    dinst_k = jax.jit(lambda i: _bwd_call(i, counts, blk, out_k, g, C, cfg))(inst)
+    _, vjp = jax.vjp(lambda i: _xla_rows(i, counts, blk, C, cfg), inst)
+    (dinst_x,) = vjp(g)
+    dk, dx = np.asarray(dinst_k), np.asarray(dinst_x)
+    assert np.isfinite(dk).all()
+    scale = np.abs(dx).max()
+    assert scale > 0
+    np.testing.assert_allclose(dk, dx, atol=3e-4 * scale, rtol=3e-3)
