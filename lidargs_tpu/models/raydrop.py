@@ -303,3 +303,73 @@ def apply_unet(params: dict, x: jnp.ndarray, key=None,
     h = up(params["up4"], h, x0)
     logits = _conv(params["outc"], jax.nn.relu(_bn(params["out_bn"], h)))
     return jax.nn.sigmoid(logits)
+
+
+def _pad16(x_chw: jnp.ndarray):
+    """Pad [C, H, W] spatially to multiples of 16 (4 maxpool levels);
+    returns (padded, (H, W)) for cropping back."""
+    C, H, W = x_chw.shape
+    Hp = -(-H // 16) * 16
+    Wp = -(-W // 16) * 16
+    return jnp.pad(x_chw, ((0, 0), (0, Hp - H), (0, Wp - W))), (H, W)
+
+
+def refine_raydrop_unet(params: dict, raydrop_hw: jnp.ndarray,
+                        intensity_hw: jnp.ndarray,
+                        depth_hw: jnp.ndarray) -> jnp.ndarray:
+    """Image-shaped UNet inference: the LiDAR4D input convention
+    [raydrop, intensity, depth] -> refined raydrop probability [H, W]."""
+    x, (H, W) = _pad16(jnp.stack([raydrop_hw, intensity_hw, depth_hw], 0))
+    return apply_unet(params, x[None])[0, 0, :H, :W]
+
+
+def train_unet_refiner(
+    key,
+    raydrop: np.ndarray,           # [N, H, W] rendered raydrop per frame
+    intensity: np.ndarray,         # [N, H, W] rendered intensity
+    depth: np.ndarray,             # [N, H, W] rendered depth (pre-scaled)
+    gt_raydrop: np.ndarray,        # [N, H, W] ground-truth hit mask
+    epochs: int = 100,
+    lr: float = 5e-4,
+    decay_rate: float = 0.1,
+    n_iters: int = 10_000,
+    channels: int = 32,
+    log_every: int = 0,
+):
+    """Offline UNet refinement: same schedule as the MLP refiner
+    (extre_train_raydrop.py:120-160 — Adam, MSE, exponential decay), but
+    the model is the LiDAR4D UNet (scene/unet.py:139-171) on the full
+    [raydrop, intensity, depth] image. Returns (params, history)."""
+    import optax
+
+    params = init_unet(key, in_channels=3, channels=channels)
+    sched = lambda step: lr * decay_rate ** (step / n_iters)
+    opt = optax.adam(learning_rate=sched, b1=0.9, b2=0.999)
+    opt_state = opt.init(params)
+
+    H, W = raydrop.shape[1:]
+
+    @jax.jit
+    def step(params, opt_state, x, gt):
+        def loss_fn(p):
+            pred = apply_unet(p, x[None])[0, 0, :H, :W]   # loss on real pixels
+            return jnp.mean((pred - gt) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    frames = []
+    for i in range(raydrop.shape[0]):
+        x, _ = _pad16(jnp.asarray(
+            np.stack([raydrop[i], intensity[i], depth[i]], 0), jnp.float32))
+        frames.append((x, jnp.asarray(gt_raydrop[i], jnp.float32)))
+
+    history = []
+    for epoch in range(epochs):
+        for x, gt in frames:
+            params, opt_state, loss = step(params, opt_state, x, gt)
+        history.append(float(loss))
+        if log_every and (epoch + 1) % log_every == 0:
+            print(f"[unet] epoch {epoch + 1}: loss {float(loss):.6f}")
+    return params, history

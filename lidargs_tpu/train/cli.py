@@ -178,22 +178,36 @@ def run_eval(scene, state, trainer, cfg, logger, compute_chamfer=False,
         lpips_fn = jax.jit(lambda a, b: lpips_single(lp, a, b))
     refine = None
     if refiner_path:
-        from ..models.raydrop import init_raydrop_mlp, refine_raydrop
-        from ..ops.composite import pixel_rays
         from ..utils.serialization import load_pytree_npz
 
-        rp = load_pytree_npz(refiner_path, init_raydrop_mlp(jax.random.key(0)))
-        fr0 = scene.data.train_frames[0]
-        H, W = fr0.H, fr0.W
-        rows = jnp.repeat(jnp.arange(H, dtype=jnp.int32), W)
-        cols = jnp.tile(jnp.arange(W, dtype=jnp.int32), H)
-        dirs_hw3 = pixel_rays(rows, cols, jnp.asarray(fr0.beams), W).reshape(H, W, 3)
         depth_scale = trainer.ocfg.depth_max
+        # arch sniff: UNet pytrees carry the "inc" conv (cli refine --arch)
+        is_unet = any(k.startswith("inc") for k in np.load(refiner_path).files)
+        if is_unet:
+            from ..models.raydrop import init_unet, refine_raydrop_unet
 
-        @jax.jit
-        def refine(color, depth):
-            rd = refine_raydrop(rp, dirs_hw3, color[0], depth / depth_scale)
-            return jnp.stack([color[0], rd], 0)
+            rp = load_pytree_npz(refiner_path, init_unet(jax.random.key(0)))
+
+            @jax.jit
+            def refine(color, depth):
+                rd = refine_raydrop_unet(rp, color[1], color[0],
+                                         depth / depth_scale)
+                return jnp.stack([color[0], rd], 0)
+        else:
+            from ..models.raydrop import init_raydrop_mlp, refine_raydrop
+            from ..ops.composite import pixel_rays
+
+            rp = load_pytree_npz(refiner_path, init_raydrop_mlp(jax.random.key(0)))
+            fr0 = scene.data.train_frames[0]
+            H, W = fr0.H, fr0.W
+            rows = jnp.repeat(jnp.arange(H, dtype=jnp.int32), W)
+            cols = jnp.tile(jnp.arange(W, dtype=jnp.int32), H)
+            dirs_hw3 = pixel_rays(rows, cols, jnp.asarray(fr0.beams), W).reshape(H, W, 3)
+
+            @jax.jit
+            def refine(color, depth):
+                rd = refine_raydrop(rp, dirs_hw3, color[0], depth / depth_scale)
+                return jnp.stack([color[0], rd], 0)
 
     results = {}
     for name, frames in (("test", scene.data.test_frames),
@@ -549,32 +563,45 @@ def refine_main(argv=None):
 
     import jax
 
-    from ..models.raydrop import train_raydrop_refiner
+    from ..models.raydrop import train_raydrop_refiner, train_unet_refiner
     from ..utils.serialization import save_pytree_npz
 
     p = argparse.ArgumentParser("lidargs_tpu raydrop refiner")
     p.add_argument("--renders", required=True,
                    help="directory produced by --dump_renders")
+    p.add_argument("--arch", choices=("mlp", "unet"), default="mlp",
+                   help="mlp = the reference's tcnn frequency MLP "
+                        "(extre_train_raydrop.py); unet = LiDAR4D's "
+                        "attention UNet (scene/unet.py:139-171) on the "
+                        "full [raydrop, intensity, depth] image")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--out", default=None)
     p.add_argument("--depth_scale", type=float, default=80.0)
     args = p.parse_args(argv)
 
-    dirs = np.load(os.path.join(args.renders, "dir.npy")).reshape(-1, 3)
-    inten, depth, gt = [], [], []
+    inten, depth, gt, rd = [], [], [], []
     for f in sorted(glob.glob(os.path.join(args.renders, "train_*.npy"))):
         d = np.load(f)                       # [6, H, W]
-        inten.append(d[0].reshape(-1))
-        depth.append(d[2].reshape(-1) / args.depth_scale)
-        gt.append(d[3].reshape(-1))
-    params, hist = train_raydrop_refiner(
-        jax.random.key(0), dirs, np.stack(inten), np.stack(depth), np.stack(gt),
-        epochs=args.epochs, lr=args.lr, log_every=5,
-    )
+        inten.append(d[0])
+        rd.append(d[1])
+        depth.append(d[2] / args.depth_scale)
+        gt.append(d[3])
+    if args.arch == "unet":
+        params, hist = train_unet_refiner(
+            jax.random.key(0), np.stack(rd), np.stack(inten), np.stack(depth),
+            np.stack(gt), epochs=args.epochs, lr=args.lr, log_every=5,
+        )
+    else:
+        dirs = np.load(os.path.join(args.renders, "dir.npy")).reshape(-1, 3)
+        flat = lambda xs: np.stack([x.reshape(-1) for x in xs])
+        params, hist = train_raydrop_refiner(
+            jax.random.key(0), dirs, flat(inten), flat(depth), flat(gt),
+            epochs=args.epochs, lr=args.lr, log_every=5,
+        )
     out = args.out or os.path.join(args.renders, "raydrop_refiner.npz")
     save_pytree_npz(out, params)
-    print(f"refiner saved to {out}; final loss {hist[-1]:.6f}")
+    print(f"{args.arch} refiner saved to {out}; final loss {hist[-1]:.6f}")
 
 
 if __name__ == "__main__":

@@ -263,6 +263,16 @@ def test_cli_refined_eval(tmp_path):
     assert "test" in res and "raydrop_acc" in res["test"]
     assert np.isfinite(res["test"]["intensity_psnr"])
 
+    # UNet arch (cli refine --arch unet, VERDICT r1 item 9): trains on the
+    # same dumps, and eval auto-detects the arch from the npz pytree
+    unet_out = os.path.join(model_dir, "renders", "raydrop_unet.npz")
+    cli.refine_main(["--renders", os.path.join(model_dir, "renders"),
+                     "--epochs", "1", "--arch", "unet", "--out", unet_out])
+    cli.main(base + ["--load_iteration", "8", "--raydrop_refiner", unet_out])
+    with open(os.path.join(model_dir, "results.json")) as f:
+        res_u = _json.load(f)
+    assert np.isfinite(res_u["test"]["raydrop_acc"])
+
 
 def test_cli_lpips_eval(tmp_path):
     """--lpips_weights adds the VGG-LPIPS metric to the eval sweep

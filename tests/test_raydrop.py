@@ -80,3 +80,31 @@ def test_unet_differentiable():
     g = jax.jit(jax.grad(loss))(params)
     gs = sum(float(jnp.abs(v).sum()) for v in jax.tree.leaves(g))
     assert np.isfinite(gs) and gs > 0
+
+
+def test_unet_refiner_learns_depth_threshold_rule():
+    """The UNet refiner (cli refine --arch unet) on the same synthetic rule
+    as the MLP test: drop iff depth > 40. Full-image training must learn it
+    and beat the raw (noisy) raydrop input's MSE."""
+    from lidargs_tpu.models.raydrop import refine_raydrop_unet, train_unet_refiner
+
+    H, W = 16, 32
+    rng = np.random.default_rng(1)
+    N = 4
+    depth = rng.uniform(0, 80, (N, H, W)).astype(np.float32)
+    inten = rng.uniform(0, 1, (N, H, W)).astype(np.float32)
+    gt = (depth > 40.0).astype(np.float32)
+    noisy_rd = np.clip(gt + rng.normal(0, 0.4, gt.shape), 0, 1).astype(np.float32)
+    params, hist = train_unet_refiner(
+        jax.random.key(0), noisy_rd, inten, depth / 80.0, gt,
+        epochs=150, n_iters=1000, channels=8,
+    )
+    assert hist[-1] < hist[0] * 0.5
+    raw_mse = float(np.mean((noisy_rd[0] - gt[0]) ** 2))
+    img = refine_raydrop_unet(
+        params, jnp.asarray(noisy_rd[0]), jnp.asarray(inten[0]),
+        jnp.asarray(depth[0] / 80.0)
+    )
+    assert img.shape == (H, W)
+    refined_mse = float(jnp.mean((img - gt[0]) ** 2))
+    assert refined_mse < raw_mse
