@@ -115,6 +115,10 @@ def build_config(argv=None):
                         "train.py:394-551), save test renders as PNGs")
     p.add_argument("--tensorboard", action="store_true",
                    help="log scalars/images to <model_path>/tb")
+    p.add_argument("--wandb", default=None, metavar="PROJECT",
+                   help="log train/eval scalars to Weights & Biases "
+                        "(train.py:53-60,611-622); silently no-op when the "
+                        "package is unavailable")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace of N steps into "
                         "<model_path>/trace")
@@ -373,10 +377,15 @@ def main(argv=None):
         first_iter = args.start_checkpoint
         logger.info(f"resumed from iteration {first_iter}")
 
-    from ..utils.profiling import StepTimer, TensorBoardLogger, trace as jtrace
+    from ..utils.profiling import (
+        StepTimer, TensorBoardLogger, WandbLogger, trace as jtrace,
+    )
 
     tb = TensorBoardLogger(os.path.join(cfg.model_path, "tb")
                            if args.tensorboard and is_coord else None)
+    wb = WandbLogger(args.wandb if is_coord else None,
+                     run_name=os.path.basename(cfg.model_path),
+                     config=vars(args))
     timer = StepTimer().start()
     profile_ctx = None
 
@@ -432,6 +441,10 @@ def main(argv=None):
                 }, it, prefix="train_loss/")
                 tb.scalar("iter_time", dt_ms / cfg.log_every, it)
                 tb.scalar("anchors", int(metrics.n_anchors), it)
+            if wb.active:
+                wb.log({"total_loss": float(metrics.loss.total),
+                        "anchors": int(metrics.n_anchors)},
+                       step=it, prefix="train/")
         if trainer.should_densify(int(metrics.n_anchors), it):
             densify_key, sub = jax.random.split(densify_key)
             state, dstats = trainer.densify(state, sub, scene.field.voxel_size)
@@ -447,9 +460,11 @@ def main(argv=None):
 
         if it in cfg.test_iterations:
             if is_coord:
-                run_eval(scene, _host(state), trainer, cfg, logger,
-                         compute_chamfer=args.eval_chamfer, tb=tb, step=it,
-                         lpips_weights=args.lpips_weights)
+                res = run_eval(scene, _host(state), trainer, cfg, logger,
+                               compute_chamfer=args.eval_chamfer, tb=tb,
+                               step=it, lpips_weights=args.lpips_weights)
+                if wb.active:
+                    wb.log(res["test"], step=it, prefix="test/")
             if rt is not None:
                 rt.sync("eval")
         if it in cfg.save_iterations:
@@ -472,13 +487,16 @@ def main(argv=None):
         state = jax.tree.map(np.asarray, state)
         rt.sync("end-of-training")
     if is_coord:
-        run_eval(scene, state, trainer, cfg, logger,
-                 compute_chamfer=args.eval_chamfer,
-                 lpips_weights=args.lpips_weights)
+        res = run_eval(scene, state, trainer, cfg, logger,
+                       compute_chamfer=args.eval_chamfer,
+                       lpips_weights=args.lpips_weights)
+        if wb.active:
+            wb.log(res["test"], step=cfg.opt.iterations, prefix="test/")
         measure_fps(scene, state, trainer, logger)
         if args.dump_renders:
             dump_renders(scene, state, trainer, cfg, logger)
     tb.close()
+    wb.finish()
     if args.warmup:
         # two-phase restart (train.py:635-638): re-train with the saved PLY
         # as the init cloud instead of the raw back-projected frames

@@ -130,3 +130,38 @@ class TensorBoardLogger:
     def close(self):
         if self._w is not None:
             self._w.close()
+
+
+class WandbLogger:
+    """Optional Weights & Biases sink, mirroring the reference's guarded
+    usage (train.py:53-60 init, :611-622 metric logging): a no-op when the
+    package is missing (it is not baked into this environment) or init
+    fails — training must never depend on the logger."""
+
+    def __init__(self, project: Optional[str], run_name: str = None,
+                 config: dict = None):
+        self._wb = None
+        if not project:
+            return
+        try:
+            import wandb
+
+            wandb.init(project=project, name=run_name, config=config or {})
+            self._wb = wandb
+        except Exception:
+            self._wb = None
+
+    @property
+    def active(self) -> bool:
+        return self._wb is not None
+
+    def log(self, values: dict, step: int = None, prefix: str = ""):
+        if self._wb is None:
+            return
+        payload = {prefix + k: float(v) for k, v in values.items()
+                   if isinstance(v, (int, float, np.floating, np.integer))}
+        self._wb.log(payload, step=step)
+
+    def finish(self):
+        if self._wb is not None:
+            self._wb.finish()
