@@ -49,6 +49,14 @@ class RasterConfig:
     max_tiles_per_gaussian: int = 32        # per-gaussian tile rect cap
     tile_capacity: int = 512                # sorted instances composited / tile
     chunk: int = 16                         # instances per compositing scan step
+    # binning-sort key budget: total (gaussian, tile) instances emitted via
+    # rank-search expansion (rasterize.py bin_instances). 0 = auto
+    # min(V*cap, 4*V) — most gaussians touch 1-4 tiles of the cap-32 rect,
+    # so a 4x-average budget cuts the sorted key count ~8x vs the dense
+    # V*cap grid; -1 = the legacy dense grid (exact, no instance drop);
+    # overflow beyond the budget drops the FARTHEST gaussians' instances
+    # (slots are emitted in depth order) and is counted in n_overflow.
+    instance_capacity: int = 0
     # --- compositing backend ---
     # "auto": pallas kernels on TPU (when the tiling matches the kernel's
     # 1x128 lane layout), XLA scan elsewhere; "pallas" forces the kernels
@@ -63,6 +71,11 @@ class RasterConfig:
     # (15.98/15.89/15.90/16.68 ms at 1/2/4/8) — Mosaic's grid pipelining
     # already hides per-step setup, so the kernel is VPU-compute-bound
     pallas_tiles_per_block: int = 1
+    # fuse the per-tile instance gather into the pallas kernel: instead of
+    # materializing [T, K, F] through an XLA row gather, the kernel DMAs
+    # each tile's contiguous window of the dense depth-sorted instance
+    # buffer (beam path only; requires the pallas backend)
+    fused_gather: bool = False
 
     def grid_shape(self, H: int, W: int) -> Tuple[int, int]:
         return (-(-H // self.tile_h), -(-W // self.tile_w))

@@ -308,6 +308,258 @@ def _bwd_tile(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
     jax.lax.while_loop(cond, body, init)
 
 
+def _fwd_kernel_fused(starts_ref, counts_ref, pix_ref, buf_ref, out_ref,
+                      scratch, sem, *, C, CH, K, cfg):
+    """Fused-gather forward: the per-tile instance rows live in ONE dense
+    depth-sorted buffer (buf, HBM); each grid step DMAs its contiguous
+    window [start, start+K) into VMEM instead of reading a pre-materialized
+    [T, K, F] tensor — the XLA gather that built that tensor (a ~4x-larger
+    random row gather + full HBM round-trip) disappears."""
+    t = pl.program_id(0)
+    count = counts_ref[t]
+    start = starts_ref[t]
+    dma = pltpu.make_async_copy(
+        buf_ref.at[pl.ds(start, K), :], scratch, sem
+    )
+    dma.start()
+    pixb = pix_ref[0]
+    pix = (pixb[0:1], pixb[1:2], pixb[2:3], pixb[3:4], pixb[4:5])
+    nch = pl.cdiv(count, CH)
+    dma.wait()
+
+    def cond(st):
+        i, T_, done, cacc, dacc = st
+        return (i < nch) & (jnp.min(done) < 0.5)
+
+    def body(st):
+        i, T_, done, cacc, dacc = st
+        s = scratch[pl.ds(i * CH, CH), :]
+        f = _chunk_fields(s, C)
+        alpha, passed, _ = _alpha_pass(f, pix, count, i * CH, CH, cfg)
+        w, applied, _P, T_, done = _chunk_weights(alpha, passed, T_, done, cfg, CH)
+        cacc = cacc + jnp.concatenate(
+            [jnp.sum(w * f["feat"][c], axis=0, keepdims=True) for c in range(C)],
+            axis=0,
+        )
+        dacc = dacc + jnp.sum(w * f["dep"], axis=0, keepdims=True)
+        return (i + 1, T_, done, cacc, dacc)
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        jnp.ones((1, LANES), jnp.float32),
+        jnp.zeros((1, LANES), jnp.float32),
+        jnp.zeros((C, LANES), jnp.float32),
+        jnp.zeros((1, LANES), jnp.float32),
+    )
+    _, T_, _done, cacc, dacc = jax.lax.while_loop(cond, body, init)
+    out_ref[0] = jnp.concatenate(
+        [cacc, dacc, T_, jnp.zeros((OUT_ROWS - C - 2, LANES), jnp.float32)], axis=0
+    )
+
+
+def _bwd_kernel_fused(starts_ref, counts_ref, pix_ref, buf_ref, res_ref,
+                      g_ref, dbuf_ref, scratch, dscr, sem, dsem,
+                      *, C, CH, K, F, cfg):
+    """Fused-gather backward: window-DMA the instances in, accumulate the
+    per-instance gradient block in VMEM, window-DMA it out. Windows of
+    adjacent tiles overlap in their [count, K) tails; TPU grid steps run
+    sequentially in ascending order and each step awaits its out-copy, so
+    a later tile's real rows overwrite an earlier tile's zero tail.
+    Rows in no tile's first-K window (per-tile overflow, slots past the
+    emission total) are masked to zero OUTSIDE the kernel."""
+    t = pl.program_id(0)
+    count = counts_ref[t]
+    start = starts_ref[t]
+    dma = pltpu.make_async_copy(buf_ref.at[pl.ds(start, K), :], scratch, sem)
+    dma.start()
+    pixb = pix_ref[0]
+    pix = (pixb[0:1], pixb[1:2], pixb[2:3], pixb[3:4], pixb[4:5])
+    res = res_ref[0]
+    totc = res[0:C]
+    totd = res[C : C + 1]
+    Tfin = res[C + 1 : C + 2]
+    g = g_ref[0]
+    gc = g[0:C]
+    gd = g[C : C + 1]
+    gT = g[C + 1 : C + 2]
+    dscr[...] = jnp.zeros((K, F), jnp.float32)
+    nch = pl.cdiv(count, CH)
+    dma.wait()
+
+    def cond(st):
+        i, T_, done, Ac, Ad = st
+        return (i < nch) & (jnp.min(done) < 0.5)
+
+    def body(st):
+        i, T_, done, Ac, Ad = st
+        s = scratch[pl.ds(i * CH, CH), :]
+        f = _chunk_fields(s, C)
+        alpha, passed, gm = _alpha_pass(f, pix, count, i * CH, CH, cfg)
+        w, applied, P, T_new, done_new = _chunk_weights(alpha, passed, T_, done, cfg, CH)
+
+        wc = [w * f["feat"][c] for c in range(C)]
+        wd = w * f["dep"]
+        after_c = [totc[c : c + 1] - Ac[c : c + 1] - _cumsum(wc[c], CH) for c in range(C)]
+        after_d = totd - Ad - _cumsum(wd, CH)
+
+        direct = sum(gc[c : c + 1] * f["feat"][c] for c in range(C)) + gd * f["dep"]
+        behind = sum(gc[c : c + 1] * after_c[c] for c in range(C)) + gd * after_d
+        inv1m = 1.0 / (1.0 - alpha)
+        dalpha = P * direct - inv1m * (behind + gT * Tfin)
+        live = applied & (gm["araw"] <= cfg.alpha_clamp)
+        Z = jnp.zeros((CH, LANES), jnp.float32)
+        dalpha = jnp.where(live, dalpha, Z)
+        dpower = jnp.where(live, dalpha * gm["araw"], Z)
+        dop = jnp.sum(jnp.where(live, dalpha * gm["e"], Z), axis=1, keepdims=True)
+
+        ddx, ddy = gm["ddx"], gm["ddy"]
+        d_ca = jnp.sum(jnp.where(live, -0.5 * ddx * ddx * dpower, Z), 1, keepdims=True)
+        d_cb = jnp.sum(jnp.where(live, -ddx * ddy * dpower, Z), 1, keepdims=True)
+        d_cc = jnp.sum(jnp.where(live, -0.5 * ddy * ddy * dpower, Z), 1, keepdims=True)
+        d_ddx = jnp.where(live, -dpower * (f["ca"] * ddx + f["cb"] * ddy), Z)
+        d_ddy = jnp.where(live, -dpower * (f["cc"] * ddy + f["cb"] * ddx), Z)
+
+        d_n1 = d_ddx
+        d_n2 = d_ddy
+        d_mx = jnp.sum(d_n1 * f["u1x"] + d_n2 * f["u2x"], 1, keepdims=True)
+        d_my = jnp.sum(d_n1 * f["u1y"] + d_n2 * f["u2y"], 1, keepdims=True)
+        d_mz = jnp.sum(d_n1 * f["u1z"] + d_n2 * f["u2z"], 1, keepdims=True)
+        d_u1x = jnp.sum(d_n1 * gm["dxv"], 1, keepdims=True)
+        d_u1y = jnp.sum(d_n1 * gm["dyv"], 1, keepdims=True)
+        d_u1z = jnp.sum(d_n1 * gm["dzv"], 1, keepdims=True)
+        d_u2x = jnp.sum(d_n2 * gm["dxv"], 1, keepdims=True)
+        d_u2y = jnp.sum(d_n2 * gm["dyv"], 1, keepdims=True)
+        d_u2z = jnp.sum(d_n2 * gm["dzv"], 1, keepdims=True)
+
+        d_feat = [jnp.sum(w * gc[c : c + 1], 1, keepdims=True) for c in range(C)]
+        d_dep = jnp.sum(w * gd, 1, keepdims=True)
+
+        pad = jnp.zeros((CH, F - PC.FEAT0 - C), jnp.float32)
+        d_s = jnp.concatenate(
+            [d_mx, d_my, d_mz, d_u1x, d_u1y, d_u1z, d_u2x, d_u2y, d_u2z,
+             d_ca, d_cb, d_cc, dop, d_dep] + d_feat + [pad],
+            axis=1,
+        )
+        dscr[pl.ds(i * CH, CH), :] = d_s
+
+        Ac = Ac + jnp.concatenate(
+            [jnp.sum(wc[c], axis=0, keepdims=True) for c in range(C)], axis=0
+        )
+        Ad = Ad + jnp.sum(wd, axis=0, keepdims=True)
+        return (i + 1, T_new, done_new, Ac, Ad)
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        jnp.ones((1, LANES), jnp.float32),
+        jnp.zeros((1, LANES), jnp.float32),
+        jnp.zeros((C, LANES), jnp.float32),
+        jnp.zeros((1, LANES), jnp.float32),
+    )
+    jax.lax.while_loop(cond, body, init)
+    out = pltpu.make_async_copy(dscr, dbuf_ref.at[pl.ds(start, K), :], dsem)
+    out.start()
+    out.wait()
+
+
+def _fused_fwd_call(buf, starts, counts, pix, C: int, cfg: RasterConfig):
+    """buf: [E + K, F] dense depth-sorted instance rows (K zero-padded);
+    starts/counts: [T] per-tile windows into buf."""
+    T = counts.shape[0]
+    _, F = buf.shape
+    CH = cfg.pallas_chunk
+    K = cfg.tile_capacity
+    assert K % CH == 0
+    kernel = functools.partial(_fwd_kernel_fused, C=C, CH=CH, K=K, cfg=cfg)
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, OUT_ROWS, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((K, F), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_interpret(),
+    )(starts, counts, pix, buf)
+
+
+def _fused_bwd_call(buf, starts, counts, pix, res, g, C: int,
+                    cfg: RasterConfig):
+    T = counts.shape[0]
+    E_pad, F = buf.shape
+    CH = cfg.pallas_chunk
+    K = cfg.tile_capacity
+    kernel = functools.partial(_bwd_kernel_fused, C=C, CH=CH, K=K, F=F, cfg=cfg)
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((E_pad, F), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((K, F), jnp.float32),
+            pltpu.VMEM((K, F), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_interpret(),
+    )(starts, counts, pix, buf, res, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def composite_windows_pallas(buf, starts, counts, pix, C: int,
+                             cfg: RasterConfig):
+    """Fused-gather compositing: [E+K, F] dense sorted instance buffer +
+    per-tile [T] windows -> [T, 8, 128] output rows (same layout as
+    composite_tiles_pallas). Gradients flow to buf (rows not in any tile's
+    first-K window are zeroed by the caller's slot mask)."""
+    return _fused_fwd_call(buf, starts, counts, pix, C, cfg)
+
+
+def _fused_vjp_fwd(buf, starts, counts, pix, C: int, cfg: RasterConfig):
+    out = _fused_fwd_call(buf, starts, counts, pix, C, cfg)
+    return out, (buf, starts, counts, pix, out)
+
+
+def _fused_vjp_bwd(C, cfg, residuals, g):
+    buf, starts, counts, pix, out = residuals
+    dbuf = _fused_bwd_call(buf, starts, counts, pix, out, g, C, cfg)
+    # rows in NO tile's [start, start+K) window (per-tile overflow gaps and
+    # the sentinel tail) are never written by the kernel — mask with where,
+    # not multiply (uninitialized rows can be NaN)
+    K = cfg.tile_capacity
+    r = jnp.arange(dbuf.shape[0], dtype=jnp.int32)
+    t = jnp.clip(
+        jnp.searchsorted(starts, r, side="right").astype(jnp.int32) - 1,
+        0, starts.shape[0] - 1,
+    )
+    written = (r >= starts[t]) & (r < starts[t] + K)
+    dbuf = jnp.where(written[:, None], dbuf, 0.0)
+    zero_i = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return (dbuf, zero_i(starts), zero_i(counts), jnp.zeros_like(pix))
+
+
+composite_windows_pallas.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+
 def _tb_pad(cfg: RasterConfig, T: int):
     """Tiles-per-block + padded tile count (pad tiles have count 0)."""
     TB = max(1, cfg.pallas_tiles_per_block)

@@ -67,10 +67,11 @@ def _tile_rects(rect, center, valid, cfg: RasterConfig, gx: int, gy: int):
     return x0, y0, wc, hc, clipped
 
 
-def bin_instances(rect, center, valid, cfg: RasterConfig, gx: int, gy: int,
-                  tile_lo=None, n_tiles: int = None):
-    """Expand gaussians to (tile, id) instances, sort, slice per-tile lists.
-    Returns ([Tl, K] gaussian ids, [Tl] counts, overflow count).
+def _bin_sorted(rect, center, valid, cfg: RasterConfig, gx: int, gy: int,
+                tile_lo=None, n_tiles: int = None):
+    """Expand gaussians to (tile, id) instances and sort the fused keys.
+    Returns (sorted keys, [Tl+1] window starts, [Tl] raw counts, shift,
+    key count, overflow).
 
     PRECONDITION: the input is already depth-ordered (see render_tiled's
     cull/compact sort), so the gaussian index IS the depth rank. That lets
@@ -90,43 +91,107 @@ def bin_instances(rect, center, valid, cfg: RasterConfig, gx: int, gy: int,
     cap = cfg.max_tiles_per_gaussian
     x0, y0, wc, hc, _clipped = _tile_rects(rect, center, valid, cfg, gx, gy)
 
-    # traced-divisor int div/mod is ~10x a float multiply on the VPU; the
-    # float reciprocal floor is exact for j < 64, wc <= 32 (verified
-    # exhaustively: values are multiples of 1/wc, spacing >= 1/32 >> 2 ulp)
-    assert cap <= 64
-    j = jnp.arange(cap, dtype=jnp.int32)[None, :]
-    inv_wc = 1.0 / wc.astype(jnp.float32)[:, None]
-    jy = jnp.floor(j.astype(jnp.float32) * inv_wc + 0.01).astype(jnp.int32)
-    jx = j - jy * wc[:, None]
-    inst_ok = (jy < hc[:, None]) & valid[:, None]
-    tile = ((y0[:, None] + jy) * gx + (x0[:, None] + jx)).astype(jnp.int32) - lo
-    inst_ok = inst_ok & (tile >= 0) & (tile < Tl)
-    tile = jnp.where(inst_ok, tile, Tl)                           # sentinel last
-
     shift = max(int(V - 1).bit_length(), 1)
     if shift + int(Tl).bit_length() > 31:
         raise ValueError(
             f"fused binning key overflows int32: V={V} tiles={Tl}; "
             "reduce max_visible or enlarge tiles"
         )
-    gid = jnp.arange(V, dtype=jnp.int32)[:, None]
-    key = (tile << shift) | gid                                   # [V, cap]
+    assert cap <= 64
 
-    # NOTE: compacting the (mostly-sentinel) [V, cap] grid into a dense
-    # buffer before sorting was tried and is a 1.8x PESSIMIZATION: the
-    # computed scatter (at[].set) serializes on TPU and costs far more than
-    # the larger sort saves. The dense V*cap single-key sort stays.
-    (s_key,) = jax.lax.sort((key.reshape(-1),), num_keys=1, is_stable=False)
+    E = cfg.instance_capacity
+    if E == 0:
+        # auto: 4x-average budget at production scale; small scenes (< 64k
+        # emission slots) keep the exact dense grid — their sort is cheap
+        # and tests compare against the unbudgeted golden render
+        E = min(V * cap, max(4 * V, 65536))
+    n_lost = jnp.zeros((), jnp.int32)
+    if E < 0 or E >= V * cap:
+        # legacy dense emission grid: every gaussian owns `cap` slots.
+        # traced-divisor int div/mod is ~10x a float multiply on the VPU;
+        # the float reciprocal floor is exact for j < 64, wc <= 32
+        # (verified exhaustively: values are multiples of 1/wc, spacing
+        # >= 1/32 >> 2 ulp)
+        j = jnp.arange(cap, dtype=jnp.int32)[None, :]
+        inv_wc = 1.0 / wc.astype(jnp.float32)[:, None]
+        jy = jnp.floor(j.astype(jnp.float32) * inv_wc + 0.01).astype(jnp.int32)
+        jx = j - jy * wc[:, None]
+        inst_ok = (jy < hc[:, None]) & valid[:, None]
+        tile = ((y0[:, None] + jy) * gx + (x0[:, None] + jx)).astype(jnp.int32) - lo
+        inst_ok = inst_ok & (tile >= 0) & (tile < Tl)
+        tile = jnp.where(inst_ok, tile, Tl)                       # sentinel last
+        gid = jnp.arange(V, dtype=jnp.int32)[:, None]
+        key = ((tile << shift) | gid).reshape(-1)
+        n_keys = V * cap
+    else:
+        # rank-search emission (the CUB duplicateWithKeys prefix-sum
+        # analogue, rasterizer_impl.cu:70-112, without its scatter — a
+        # computed scatter is a measured 1.8x pessimization on TPU): slot s
+        # maps to gaussian i(s) = searchsorted(offsets, s) and within-rect
+        # rank j = s - offsets[i], all gathers. Slots come out in gaussian
+        # = depth order, so budget overflow drops the FARTHEST gaussians'
+        # instances; the count is reported.
+        n_i = jnp.where(valid, wc * hc, 0).astype(jnp.int32)      # <= cap
+        offsets = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(n_i)]
+        )                                                         # [V+1]
+        total = offsets[-1]
+        s = jnp.arange(E, dtype=jnp.int32)
+        i_s = (
+            jnp.searchsorted(offsets, s, side="right").astype(jnp.int32) - 1
+        )
+        i_s = jnp.clip(i_s, 0, V - 1)
+        j_s = s - offsets[i_s]
+        inv_wc = 1.0 / wc.astype(jnp.float32)
+        jy = jnp.floor(
+            j_s.astype(jnp.float32) * inv_wc[i_s] + 0.01
+        ).astype(jnp.int32)
+        jx = j_s - jy * wc[i_s]
+        tile = ((y0[i_s] + jy) * gx + (x0[i_s] + jx)).astype(jnp.int32) - lo
+        inst_ok = (s < total) & (tile >= 0) & (tile < Tl)
+        tile = jnp.where(inst_ok, tile, Tl)
+        key = (tile << shift) | i_s
+        n_keys = E
+        n_lost = jnp.maximum(total - E, 0)
+
+    (s_key,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
 
     bounds = (jnp.arange(Tl + 1, dtype=jnp.int32) << shift)
-    starts = jnp.searchsorted(s_key, bounds)
+    starts = jnp.searchsorted(s_key, bounds).astype(jnp.int32)
     counts = starts[1:] - starts[:-1]
     K = cfg.tile_capacity
+    n_overflow = jnp.sum(jnp.maximum(counts - K, 0)) + n_lost
+    return s_key, starts, counts, shift, n_keys, n_overflow
+
+
+def bin_instances(rect, center, valid, cfg: RasterConfig, gx: int, gy: int,
+                  tile_lo=None, n_tiles: int = None):
+    """Materialized per-tile id lists (see _bin_sorted): ([Tl, K] gaussian
+    ids, [Tl] counts, overflow count)."""
+    s_key, starts, counts, shift, n_keys, n_overflow = _bin_sorted(
+        rect, center, valid, cfg, gx, gy, tile_lo, n_tiles
+    )
+    K = cfg.tile_capacity
     idx = starts[:-1, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
-    idx = jnp.clip(idx, 0, V * cap - 1)
+    idx = jnp.clip(idx, 0, n_keys - 1)
     ids = jnp.take(s_key, idx, mode="clip") & ((1 << shift) - 1)
-    n_overflow = jnp.sum(jnp.maximum(counts - K, 0))
     return ids, jnp.minimum(counts, K), n_overflow
+
+
+def bin_instances_windows(rect, center, valid, cfg: RasterConfig, gx: int,
+                          gy: int, tile_lo=None, n_tiles: int = None):
+    """Fused-gather form: per-SLOT gaussian ids in sorted (tile, depth)
+    order + per-tile [start, count) windows into that dense list.
+    Returns (gid [E], starts [Tl], counts [Tl], overflow). Slots outside
+    every tile's first-K window (sentinels, per-tile overflow) carry real
+    gaussian rows but are never read (the kernel trip count stops at
+    count) and their gradient rows are masked in the fused VJP."""
+    s_key, starts, counts, shift, n_keys, n_overflow = _bin_sorted(
+        rect, center, valid, cfg, gx, gy, tile_lo, n_tiles
+    )
+    K = cfg.tile_capacity
+    gid = s_key & ((1 << shift) - 1)
+    return gid, starts[:-1], jnp.minimum(counts, K), n_overflow
 
 
 def _tile_pixels(H: int, W: int, cfg: RasterConfig, gx: int, gy: int, beams,
@@ -194,6 +259,27 @@ def render_packed_window(
     rect = pkv[:, PackedCols.rect(C)].astype(jnp.int32)
     center = pkv[:, PackedCols.center(C)]
 
+    lo = jnp.int32(0) if tile_lo is None else jnp.asarray(tile_lo, jnp.int32)
+    tiles = lo + jnp.arange(Tl, dtype=jnp.int32)
+    pix_x, pix_y, dirs = _tile_pixels(H, W, cfg, gx, gy, beams, tiles=tiles)
+
+    if cfg.fused_gather and _use_pallas(cfg, C) and tile_spec is None:
+        # fused gather: ONE dense [E, F] row gather in sorted (tile, depth)
+        # order; the kernel DMAs each tile's contiguous window — no
+        # [T, K, F] materialization. Gradients flow through the dense
+        # gather's transpose (deterministic scatter-add), with slots
+        # outside every tile's first-K window masked out.
+        from .pallas_composite import composite_windows_pallas
+
+        gid, starts, counts, n_overflow = bin_instances_windows(
+            rect, center, vvalid, cfg, gx, gy, tile_lo=tile_lo, n_tiles=n_tiles
+        )
+        buf = jnp.take(pkv, gid, axis=0, mode="clip")
+        buf = jnp.pad(buf, ((0, K), (0, 0)))
+        blk = _pix_blocks(pix_x, pix_y, dirs)
+        out8 = composite_windows_pallas(buf, starts, counts, blk, C, cfg)
+        return out8[:, :C], out8[:, C], out8[:, C + 1], n_overflow
+
     ids, counts, n_overflow = bin_instances(
         rect, center, vvalid, cfg, gx, gy, tile_lo=tile_lo, n_tiles=n_tiles
     )
@@ -202,9 +288,6 @@ def render_packed_window(
     # transpose (backward) is a deterministic scatter-add — the TPU analogue
     # of the reference backward's atomicAdd accumulation (backward.cu:702-788)
     inst = jnp.take(pkv, ids.reshape(-1), axis=0, mode="clip").reshape(Tl, K, F)
-    lo = jnp.int32(0) if tile_lo is None else jnp.asarray(tile_lo, jnp.int32)
-    tiles = lo + jnp.arange(Tl, dtype=jnp.int32)
-    pix_x, pix_y, dirs = _tile_pixels(H, W, cfg, gx, gy, beams, tiles=tiles)
 
     if tile_spec is not None:
         from jax.sharding import PartitionSpec as _P

@@ -92,3 +92,57 @@ def test_pallas_empty_tiles_are_background():
     assert empty.any()
     np.testing.assert_allclose(color[0][empty], 0.25, atol=1e-6)
     np.testing.assert_allclose(color[1][empty], 0.5, atol=1e-6)
+
+
+FUSED = replace(PAL, fused_gather=True)
+
+
+def test_fused_gather_forward_matches_materialized():
+    """composite_windows_pallas (windowed-DMA fused gather) against the
+    materialized [T, K, F] kernel path — forward must be bitwise on the
+    same instance data."""
+    _, a, b = _both(jax.random.key(4), xla=PAL, pal=FUSED)
+    np.testing.assert_array_equal(np.asarray(b.color), np.asarray(a.color))
+    np.testing.assert_array_equal(np.asarray(b.depth), np.asarray(a.depth))
+    np.testing.assert_array_equal(np.asarray(b.occ), np.asarray(a.occ))
+    assert int(b.n_overflow) == int(a.n_overflow)
+    assert float(a.occ.max()) > 0.5
+
+
+def test_fused_gather_forward_with_overflow_and_budget():
+    """Per-tile overflow (tiny K) + a tight instance budget: the fused path
+    must agree with the materialized path instance-for-instance (both drop
+    the same overflow rows) and count the same overflow."""
+    base = dict(max_visible=512, max_tiles_per_gaussian=16, tile_capacity=16,
+                chunk=8, pallas_chunk=8, instance_capacity=2048)
+    pal = RasterConfig(backend="pallas", **base)
+    fus = replace(pal, fused_gather=True)
+    _, a, b = _both(jax.random.key(5), n=400, H=16, W=256, xla=pal, pal=fus)
+    assert int(a.n_overflow) > 0
+    assert int(b.n_overflow) == int(a.n_overflow)
+    np.testing.assert_array_equal(np.asarray(b.color), np.asarray(a.color))
+    np.testing.assert_array_equal(np.asarray(b.depth), np.asarray(a.depth))
+
+
+def test_fused_gather_gradients_match_materialized():
+    """Full-pipeline gradients through the fused path vs the materialized
+    kernel path: the windowed dbuf write-back (overlap stomping + slot
+    mask) must reproduce the per-tile dinst scatter-add exactly."""
+    sc = make_scene(jax.random.key(6), n=150, H=16, W=128)
+    bg = jnp.zeros((2,), jnp.float32)
+    target = jax.random.uniform(jax.random.key(7), (2, 16, 128))
+
+    def loss(means, scales, opac, feat, cfg):
+        s = preprocess_gaussians(means, scales, sc.quats, opac, feat, sc.mask,
+                                 sc.w2s_rot, sc.w2s_trans, sc.beams, sc.W, cfg)
+        o = render_tiled(s, sc.beams, sc.W, bg, cfg)
+        return (jnp.mean((o.color - target) ** 2) + 0.1 * jnp.mean(o.depth)
+                + 0.05 * jnp.mean(o.occ))
+
+    args = (sc.means3d, sc.scales, sc.opacities, sc.feat)
+    gm = jax.jit(jax.grad(lambda *a: loss(*a, PAL), argnums=(0, 1, 2, 3)))(*args)
+    gf = jax.jit(jax.grad(lambda *a: loss(*a, FUSED), argnums=(0, 1, 2, 3)))(*args)
+    for m, f in zip(gm, gf):
+        assert bool(jnp.isfinite(f).all())
+        np.testing.assert_allclose(np.asarray(f), np.asarray(m),
+                                   rtol=1e-5, atol=1e-7)

@@ -153,3 +153,75 @@ def test_jit_and_batch_vmap():
     single = go(sc.means3d)
     batched = jax.vmap(go)(jnp.stack([sc.means3d, sc.means3d + 0.1]))
     np.testing.assert_allclose(np.asarray(batched[0]), np.asarray(single), atol=1e-6)
+
+
+def test_rank_search_binning_matches_dense_grid():
+    """The rank-search instance emission (instance_capacity budget,
+    rasterize.py bin_instances) must produce the identical per-tile id
+    lists as the legacy dense [V, cap] grid when the budget covers every
+    instance, and count (not corrupt) drops when it doesn't."""
+    from lidargs_tpu.ops.projection import PackedCols, pack_splats
+    from lidargs_tpu.ops.rasterize import bin_instances
+
+    sc = make_scene(jax.random.key(3), n=300, H=32, W=256)
+    cfg_d = replace(CFG, instance_capacity=-1)
+    splats = jax.jit(lambda: scene_splats(sc, cfg_d))()
+    pk = pack_splats(splats)
+    C = 2
+    gy, gx = cfg_d.grid_shape(32, 256)
+    rect = pk[:, PackedCols.rect(C)].astype(jnp.int32)
+    center = pk[:, PackedCols.center(C)]
+    vvalid = pk[:, PackedCols.validf(C)] > 0.0
+
+    ids_d, counts_d, ovf_d = jax.jit(
+        lambda r, c, v: bin_instances(r, c, v, cfg_d, gx, gy)
+    )(rect, center, vvalid)
+    # ample budget -> identical lists
+    cfg_r = replace(CFG, instance_capacity=300 * 64)
+    ids_r, counts_r, ovf_r = jax.jit(
+        lambda r, c, v: bin_instances(r, c, v, cfg_r, gx, gy)
+    )(rect, center, vvalid)
+    np.testing.assert_array_equal(np.asarray(counts_r), np.asarray(counts_d))
+    np.testing.assert_array_equal(np.asarray(ids_r), np.asarray(ids_d))
+    assert int(ovf_r) == int(ovf_d)
+
+    # tight budget -> only the deepest gaussians' instances drop, and the
+    # loss is counted
+    n_inst = int(jnp.sum(counts_d))
+    tight = max(n_inst - 64, 1)
+    cfg_t = replace(CFG, instance_capacity=tight)
+    ids_t, counts_t, ovf_t = jax.jit(
+        lambda r, c, v: bin_instances(r, c, v, cfg_t, gx, gy)
+    )(rect, center, vvalid)
+    assert int(ovf_t) > int(ovf_d)
+    # surviving per-tile prefixes agree (drops only at the depth tail)
+    ct, cd = np.asarray(counts_t), np.asarray(counts_d)
+    it, idd = np.asarray(ids_t), np.asarray(ids_d)
+    assert (ct <= cd).all()
+    for t in range(len(ct)):
+        np.testing.assert_array_equal(it[t, :ct[t]], idd[t, :ct[t]])
+
+
+def test_render_tiled_auto_budget_matches_dense_at_scale():
+    """Full render through the auto instance budget (>=64k slots engages
+    rank-search) vs the legacy dense grid: identical images when no
+    overflow is reported."""
+    cfg_auto = replace(CFG, max_visible=4096, instance_capacity=0,
+                       max_tiles_per_gaussian=32)
+    cfg_dense = replace(cfg_auto, instance_capacity=-1)
+    sc = make_scene(jax.random.key(11), n=4096, H=32, W=512)
+    splats = jax.jit(lambda: scene_splats(sc, cfg_auto))()
+    bg = jnp.zeros((2,), jnp.float32)
+    a = jax.jit(lambda s: render_tiled(s, sc.beams, sc.W, bg, cfg_auto))(splats)
+    d = jax.jit(lambda s: render_tiled(s, sc.beams, sc.W, bg, cfg_dense))(splats)
+    # auto budget = max(4*V, 65536) = 65536 slots for V=4096*cap32=131072
+    # dense slots; assert whichever regime engaged agrees wherever nothing
+    # was dropped
+    if int(a.n_overflow) == int(d.n_overflow):
+        np.testing.assert_array_equal(np.asarray(a.color), np.asarray(d.color))
+        np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(d.depth))
+    else:
+        # budget dropped the farthest instances only: overflow counted and
+        # images still finite
+        assert int(a.n_overflow) > int(d.n_overflow)
+        assert bool(jnp.isfinite(a.color).all())
