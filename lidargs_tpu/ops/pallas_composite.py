@@ -308,24 +308,40 @@ def _bwd_tile(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
     jax.lax.while_loop(cond, body, init)
 
 
+def _fused_window_dma(buf_ref, starts_ref, scr, sem, t, slot, K):
+    return pltpu.make_async_copy(
+        buf_ref.at[pl.ds(starts_ref[t], K), :], scr.at[slot], sem.at[slot]
+    )
+
+
 def _fwd_kernel_fused(starts_ref, counts_ref, pix_ref, buf_ref, out_ref,
-                      scratch, sem, *, C, CH, K, cfg):
+                      scr, sem, *, C, CH, K, cfg):
     """Fused-gather forward: the per-tile instance rows live in ONE dense
     depth-sorted buffer (buf, HBM); each grid step DMAs its contiguous
     window [start, start+K) into VMEM instead of reading a pre-materialized
     [T, K, F] tensor — the XLA gather that built that tensor (a ~4x-larger
-    random row gather + full HBM round-trip) disappears."""
+    random row gather + full HBM round-trip) disappears. Input windows are
+    double-buffered: tile t+1's copy is issued before tile t's compute."""
     t = pl.program_id(0)
+    nT = pl.num_programs(0)
+    slot = jax.lax.rem(t, 2)
     count = counts_ref[t]
-    start = starts_ref[t]
-    dma = pltpu.make_async_copy(
-        buf_ref.at[pl.ds(start, K), :], scratch, sem
-    )
-    dma.start()
+
+    @pl.when(t == 0)
+    def _():
+        _fused_window_dma(buf_ref, starts_ref, scr, sem, 0, 0, K).start()
+
+    @pl.when(t + 1 < nT)
+    def _():
+        _fused_window_dma(
+            buf_ref, starts_ref, scr, sem, t + 1, jax.lax.rem(t + 1, 2), K
+        ).start()
+
     pixb = pix_ref[0]
     pix = (pixb[0:1], pixb[1:2], pixb[2:3], pixb[3:4], pixb[4:5])
     nch = pl.cdiv(count, CH)
-    dma.wait()
+    _fused_window_dma(buf_ref, starts_ref, scr, sem, t, slot, K).wait()
+    scratch = scr.at[slot]
 
     def cond(st):
         i, T_, done, cacc, dacc = st
@@ -358,20 +374,32 @@ def _fwd_kernel_fused(starts_ref, counts_ref, pix_ref, buf_ref, out_ref,
 
 
 def _bwd_kernel_fused(starts_ref, counts_ref, pix_ref, buf_ref, res_ref,
-                      g_ref, dbuf_ref, scratch, dscr, sem, dsem,
+                      g_ref, dbuf_ref, scr, dscr, sem, dsem,
                       *, C, CH, K, F, cfg):
-    """Fused-gather backward: window-DMA the instances in, accumulate the
-    per-instance gradient block in VMEM, window-DMA it out. Windows of
-    adjacent tiles overlap in their [count, K) tails; TPU grid steps run
-    sequentially in ascending order and each step awaits its out-copy, so
-    a later tile's real rows overwrite an earlier tile's zero tail.
-    Rows in no tile's first-K window (per-tile overflow, slots past the
-    emission total) are masked to zero OUTSIDE the kernel."""
+    """Fused-gather backward: window-DMA the instances in (double-buffered
+    like the forward), accumulate the per-instance gradient block in VMEM,
+    window-DMA it out. Windows of adjacent tiles overlap in their
+    [count, K) tails; TPU grid steps run sequentially in ascending order
+    and each step awaits its out-copy before returning, so a later tile's
+    real rows overwrite an earlier tile's zero tail. Rows in no tile's
+    first-K window (per-tile overflow, slots past the emission total) are
+    masked to zero OUTSIDE the kernel."""
     t = pl.program_id(0)
+    nT = pl.num_programs(0)
+    slot = jax.lax.rem(t, 2)
     count = counts_ref[t]
     start = starts_ref[t]
-    dma = pltpu.make_async_copy(buf_ref.at[pl.ds(start, K), :], scratch, sem)
-    dma.start()
+
+    @pl.when(t == 0)
+    def _():
+        _fused_window_dma(buf_ref, starts_ref, scr, sem, 0, 0, K).start()
+
+    @pl.when(t + 1 < nT)
+    def _():
+        _fused_window_dma(
+            buf_ref, starts_ref, scr, sem, t + 1, jax.lax.rem(t + 1, 2), K
+        ).start()
+
     pixb = pix_ref[0]
     pix = (pixb[0:1], pixb[1:2], pixb[2:3], pixb[3:4], pixb[4:5])
     res = res_ref[0]
@@ -384,7 +412,8 @@ def _bwd_kernel_fused(starts_ref, counts_ref, pix_ref, buf_ref, res_ref,
     gT = g[C + 1 : C + 2]
     dscr[...] = jnp.zeros((K, F), jnp.float32)
     nch = pl.cdiv(count, CH)
-    dma.wait()
+    _fused_window_dma(buf_ref, starts_ref, scr, sem, t, slot, K).wait()
+    scratch = scr.at[slot]
 
     def cond(st):
         i, T_, done, Ac, Ad = st
@@ -484,8 +513,8 @@ def _fused_fwd_call(buf, starts, counts, pix, C: int, cfg: RasterConfig):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, OUT_ROWS, LANES), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((K, F), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, K, F), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
     )(starts, counts, pix, buf)
@@ -515,9 +544,9 @@ def _fused_bwd_call(buf, starts, counts, pix, res, g, C: int,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((E_pad, F), jnp.float32),
         scratch_shapes=[
+            pltpu.VMEM((2, K, F), jnp.float32),
             pltpu.VMEM((K, F), jnp.float32),
-            pltpu.VMEM((K, F), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=_interpret(),
