@@ -23,7 +23,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import ModelConfig, RasterConfig
@@ -103,7 +103,7 @@ def render_field_sharded(
         shard_fn, mesh=mesh,
         in_specs=(pspec, P(axis), P()),
         out_specs=out_specs,
-        check_rep=False,
+        check_vma=False,
     )(params, valid, frame)
 
     # --- assemble strips (D*Tl tiles, window overhang dropped) ---
