@@ -568,20 +568,23 @@ def _fused_vjp_fwd(buf, starts, counts, pix, C: int, cfg: RasterConfig):
     return out, (buf, starts, counts, pix, out)
 
 
-def _fused_vjp_bwd(C, cfg, residuals, g):
-    buf, starts, counts, pix, out = residuals
-    dbuf = _fused_bwd_call(buf, starts, counts, pix, out, g, C, cfg)
-    # rows in NO tile's [start, start+K) window (per-tile overflow gaps and
-    # the sentinel tail) are never written by the kernel — mask with where,
-    # not multiply (uninitialized rows can be NaN)
-    K = cfg.tile_capacity
+def mask_unwritten_rows(dbuf, starts, K: int):
+    """Zero rows in NO tile's [start, start+K) window (per-tile overflow
+    gaps and the sentinel tail) — the kernel never writes them, so they can
+    be NaN; mask with where, not multiply."""
     r = jnp.arange(dbuf.shape[0], dtype=jnp.int32)
     t = jnp.clip(
         jnp.searchsorted(starts, r, side="right").astype(jnp.int32) - 1,
         0, starts.shape[0] - 1,
     )
     written = (r >= starts[t]) & (r < starts[t] + K)
-    dbuf = jnp.where(written[:, None], dbuf, 0.0)
+    return jnp.where(written[:, None], dbuf, 0.0)
+
+
+def _fused_vjp_bwd(C, cfg, residuals, g):
+    buf, starts, counts, pix, out = residuals
+    dbuf = _fused_bwd_call(buf, starts, counts, pix, out, g, C, cfg)
+    dbuf = mask_unwritten_rows(dbuf, starts, cfg.tile_capacity)
     zero_i = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     return (dbuf, zero_i(starts), zero_i(counts), jnp.zeros_like(pix))
 

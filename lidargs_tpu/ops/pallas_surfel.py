@@ -116,9 +116,8 @@ def _surfel_alpha(s, pix, count, base_row, ch, C, cfg: RasterConfig):
     return alpha, passed, depth, m, feat, (nx, ny, nz), rowi, gm
 
 
-def _fwd_kernel(counts_ref, inst_ref, pix_ref, out_ref, *, C, CH, cfg):
-    count = counts_ref[pl.program_id(0)]
-    pixb = pix_ref[0]
+def _fwd_tile(read, count, pixb, out_ref, *, C, CH, cfg):
+    """Shared forward tile walk; `read(i)` yields the i-th [CH, F] chunk."""
     pix = (pixb[0:1], pixb[1:2], pixb[2:3], pixb[3:4], pixb[4:5])
     nch = pl.cdiv(count, CH)
 
@@ -127,7 +126,7 @@ def _fwd_kernel(counts_ref, inst_ref, pix_ref, out_ref, *, C, CH, cfg):
 
     def body(st):
         (i, T, done, cacc, dacc, nacc, m1, m2, dist, med) = st
-        s = inst_ref[0, pl.ds(i * CH, CH), :]
+        s = read(i)
         alpha, passed, depth, m, feat, nrm, rowi, _gm = _surfel_alpha(
             s, pix, count, i * CH, CH, C, cfg
         )
@@ -183,8 +182,39 @@ def _fwd_kernel(counts_ref, inst_ref, pix_ref, out_ref, *, C, CH, cfg):
     )
 
 
-def _bwd_kernel(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
-                *, C, CH, K, F, cfg):
+def _fwd_kernel(counts_ref, inst_ref, pix_ref, out_ref, *, C, CH, cfg):
+    count = counts_ref[pl.program_id(0)]
+    read = lambda i: inst_ref[0, pl.ds(i * CH, CH), :]
+    _fwd_tile(read, count, pix_ref[0], out_ref, C=C, CH=CH, cfg=cfg)
+
+
+def _fwd_kernel_fused(starts_ref, counts_ref, pix_ref, buf_ref, out_ref,
+                      scr, sem, *, C, CH, K, cfg):
+    """Fused-gather surfel forward: double-buffered window DMA from the
+    dense sorted instance buffer (see pallas_composite._fwd_kernel_fused)."""
+    from .pallas_composite import _fused_window_dma
+
+    t = pl.program_id(0)
+    nT = pl.num_programs(0)
+    slot = jax.lax.rem(t, 2)
+    count = counts_ref[t]
+
+    @pl.when(t == 0)
+    def _():
+        _fused_window_dma(buf_ref, starts_ref, scr, sem, 0, 0, K).start()
+
+    @pl.when(t + 1 < nT)
+    def _():
+        _fused_window_dma(
+            buf_ref, starts_ref, scr, sem, t + 1, jax.lax.rem(t + 1, 2), K
+        ).start()
+
+    _fused_window_dma(buf_ref, starts_ref, scr, sem, t, slot, K).wait()
+    read = lambda i: scr[slot, pl.ds(i * CH, CH), :]
+    _fwd_tile(read, count, pix_ref[0], out_ref, C=C, CH=CH, cfg=cfg)
+
+
+def _bwd_tile(read, write, count, pixb, res, g, *, C, CH, F, cfg):
     """Hand-derived surfel backward — single forward-order pass (the surfel
     analogue of pallas_composite._bwd_tile, covering surfel
     backward.cu:370-692). The chunk-entry transmittance is the running
@@ -205,10 +235,7 @@ def _bwd_kernel(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
     P > 0.5 (a boolean select, like the oracle's jnp.where) — its cotangent
     routes to that instance's depth, matched here by depth == saved median.
     """
-    count = counts_ref[pl.program_id(0)]
-    pixb = pix_ref[0]
     pix = (pixb[0:1], pixb[1:2], pixb[2:3], pixb[3:4], pixb[4:5])
-    res = res_ref[0]
     totc = res[0:C]
     totd = res[C : C + 1]
     Tfin = res[C + 1 : C + 2]
@@ -217,7 +244,6 @@ def _bwd_kernel(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
     totdist = res[C + 6 : C + 7]
     totm1 = res[C + 7 : C + 8]
     totm2 = res[C + 8 : C + 9]
-    g = g_ref[0]
     gc = g[0:C]
     gd = g[C : C + 1]
     gT = g[C + 1 : C + 2]
@@ -229,8 +255,6 @@ def _bwd_kernel(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
     Wtot = 1.0 - Tfin
     dirx, diry, dirz = pix[0], pix[1], pix[2]
 
-    # dead-tail chunks contribute d_s = 0: pre-zero and early-exit
-    dinst_ref[0] = jnp.zeros((K, F), jnp.float32)
     nch = pl.cdiv(count, CH)
 
     def cond(st):
@@ -238,7 +262,7 @@ def _bwd_kernel(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
 
     def body(st):
         (i, T, done, Ac, Ad, An, Am1, Am2, AD, AQ) = st
-        s = inst_ref[0, pl.ds(i * CH, CH), :]
+        s = read(i)
         alpha, passed, depth, m, feat, nrm, rowi, gme = _surfel_alpha(
             s, pix, count, i * CH, CH, C, cfg
         )
@@ -371,7 +395,7 @@ def _bwd_kernel(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
             + [d_cenx, d_ceny, zcol, zcol, zcol, zcol, zcol, pad],
             axis=1,
         )
-        dinst_ref[0, pl.ds(i * CH, CH), :] = d_s
+        write(i, d_s)
 
         Ac = Ac + jnp.concatenate(
             [jnp.sum(wc[c], 0, keepdims=True) for c in range(C)], 0
@@ -392,6 +416,56 @@ def _bwd_kernel(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
         z(C), z(1), z(3), z(1), z(1), z(1), z(1),
     )
     jax.lax.while_loop(cond, body, init)
+
+
+def _bwd_kernel(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
+                *, C, CH, K, F, cfg):
+    count = counts_ref[pl.program_id(0)]
+    # dead-tail chunks contribute d_s = 0: pre-zero and early-exit
+    dinst_ref[0] = jnp.zeros((K, F), jnp.float32)
+    read = lambda i: inst_ref[0, pl.ds(i * CH, CH), :]
+    write = lambda i, d_s: dinst_ref.__setitem__(
+        (0, pl.ds(i * CH, CH), slice(None)), d_s
+    )
+    _bwd_tile(read, write, count, pix_ref[0], res_ref[0], g_ref[0],
+              C=C, CH=CH, F=F, cfg=cfg)
+
+
+def _bwd_kernel_fused(starts_ref, counts_ref, pix_ref, buf_ref, res_ref,
+                      g_ref, dbuf_ref, scr, dscr, sem, dsem,
+                      *, C, CH, K, F, cfg):
+    """Fused-gather surfel backward: double-buffered window DMA in, VMEM
+    gradient block, in-step windowed write-back (ascending grid order
+    resolves overlap tails; unwritten rows masked in the VJP)."""
+    from .pallas_composite import _fused_window_dma
+
+    t = pl.program_id(0)
+    nT = pl.num_programs(0)
+    slot = jax.lax.rem(t, 2)
+    count = counts_ref[t]
+    start = starts_ref[t]
+
+    @pl.when(t == 0)
+    def _():
+        _fused_window_dma(buf_ref, starts_ref, scr, sem, 0, 0, K).start()
+
+    @pl.when(t + 1 < nT)
+    def _():
+        _fused_window_dma(
+            buf_ref, starts_ref, scr, sem, t + 1, jax.lax.rem(t + 1, 2), K
+        ).start()
+
+    dscr[...] = jnp.zeros((K, F), jnp.float32)
+    _fused_window_dma(buf_ref, starts_ref, scr, sem, t, slot, K).wait()
+    read = lambda i: scr[slot, pl.ds(i * CH, CH), :]
+    write = lambda i, d_s: dscr.__setitem__(
+        (pl.ds(i * CH, CH), slice(None)), d_s
+    )
+    _bwd_tile(read, write, count, pix_ref[0], res_ref[0], g_ref[0],
+              C=C, CH=CH, F=F, cfg=cfg)
+    out = pltpu.make_async_copy(dscr, dbuf_ref.at[pl.ds(start, K), :], dsem)
+    out.start()
+    out.wait()
 
 
 def _bwd_call(inst, counts, pix, res, g, C: int, cfg: RasterConfig):
@@ -484,3 +558,91 @@ def _xla_vjp_bwd(C, cfg, residuals, g):
 
 
 surfel_composite_tiles.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def _fused_fwd_call(buf, starts, counts, pix, C: int, cfg: RasterConfig):
+    T = counts.shape[0]
+    _, F = buf.shape
+    CH = cfg.pallas_chunk
+    K = cfg.tile_capacity
+    assert K % CH == 0
+    kernel = functools.partial(_fwd_kernel_fused, C=C, CH=CH, K=K, cfg=cfg)
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, OUT_ROWS, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, K, F), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_interpret(),
+    )(starts, counts, pix, buf)
+
+
+def _fused_bwd_call(buf, starts, counts, pix, res, g, C: int,
+                    cfg: RasterConfig):
+    T = counts.shape[0]
+    E_pad, F = buf.shape
+    CH = cfg.pallas_chunk
+    K = cfg.tile_capacity
+    kernel = functools.partial(_bwd_kernel_fused, C=C, CH=CH, K=K, F=F, cfg=cfg)
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((E_pad, F), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, K, F), jnp.float32),
+            pltpu.VMEM((K, F), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_interpret(),
+    )(starts, counts, pix, buf, res, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def surfel_composite_windows(buf, starts, counts, pix, C: int,
+                             cfg: RasterConfig):
+    """Fused-gather surfel compositing: [E+K, F] dense sorted instance
+    buffer + per-tile windows -> [T, 16, 128] output rows (same layout as
+    surfel_composite_tiles)."""
+    return _fused_fwd_call(buf, starts, counts, pix, C, cfg)
+
+
+def _fused_vjp_fwd(buf, starts, counts, pix, C: int, cfg: RasterConfig):
+    out = _fused_fwd_call(buf, starts, counts, pix, C, cfg)
+    return out, (buf, starts, counts, pix, out)
+
+
+def _fused_vjp_bwd(C, cfg, residuals, g):
+    from .pallas_composite import mask_unwritten_rows
+
+    buf, starts, counts, pix, out = residuals
+    dbuf = _fused_bwd_call(buf, starts, counts, pix, out, g, C, cfg)
+    dbuf = mask_unwritten_rows(dbuf, starts, cfg.tile_capacity)
+    zero_i = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return (dbuf, zero_i(starts), zero_i(counts), jnp.zeros_like(pix))
+
+
+surfel_composite_windows.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)

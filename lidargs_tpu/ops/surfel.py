@@ -15,10 +15,12 @@ Outputs match the reference binding's `out_others[7, H, W]`
 (auxiliary.h:22-28): expected depth, accumulated alpha, normal (3), median
 depth, and the 2DGS distortion-loss accumulator (forward.cu:495-543).
 
-The backward pass is JAX autodiff through the (rematerialized) chunk scan —
-replacing the reference's 861-line hand-derived kernel (backward.cu) with a
-deterministic, machine-derived VJP. The binning/sort infrastructure is
-shared with the beam-splatting variant (rasterize.py).
+Backward: on the pallas path, the hand-derived single-pass kernel
+(pallas_surfel._bwd_kernel, covering the reference's 861-line backward.cu);
+on the XLA path (and as the test oracle), JAX autodiff through the
+rematerialized chunk scan. The binning/sort infrastructure is shared with
+the beam-splatting variant (rasterize.py), including the fused-gather
+windowed-DMA mode (cfg.fused_gather).
 """
 from __future__ import annotations
 
@@ -383,32 +385,52 @@ def render_surfels(
         Tn = gy * gx
         rect = pkv[:, S.rect(C)].astype(jnp.int32)
         center = pkv[:, S.center(C)]
-        ids, counts, n_overflow = bin_instances(rect, center, vvalid, cfg, gx, gy)
         K = cfg.tile_capacity
         pix_x, pix_y, dirs = _tile_pixels(H, W, cfg, gx, gy, beams)
         th, tw = cfg.tile_h, cfg.tile_w
 
     F = pkv.shape[1]
-    inst = jnp.take(pkv, ids.reshape(-1), axis=0, mode="clip").reshape(Tn, K, F)
 
     from .rasterize import _pix_blocks, _use_pallas
 
-    if not golden and _use_pallas(cfg, C):
-        from .pallas_surfel import surfel_composite_tiles
+    use_pal = not golden and _use_pallas(cfg, C)
+    if use_pal and cfg.fused_gather and cfg.instance_capacity >= 0:
+        # fused gather (see rasterize.py): one dense sorted-instance buffer,
+        # per-tile windowed DMA in the kernel instead of a [T, K, F] gather
+        from .pallas_surfel import surfel_composite_windows
+        from .rasterize import bin_instances_windows
 
+        gid, starts, counts, n_overflow = bin_instances_windows(
+            rect, center, vvalid, cfg, gx, gy
+        )
+        buf = jnp.take(pkv, gid, axis=0, mode="clip")
+        buf = jnp.pad(buf, ((0, K), (0, 0)))
         blk = _pix_blocks(pix_x, pix_y, dirs)
-        out16 = surfel_composite_tiles(inst, counts, blk, C, cfg)
+        out16 = surfel_composite_windows(buf, starts, counts, blk, C, cfg)
+    else:
+        if not golden:
+            ids, counts, n_overflow = bin_instances(
+                rect, center, vvalid, cfg, gx, gy
+            )
+        inst = jnp.take(pkv, ids.reshape(-1), axis=0, mode="clip").reshape(Tn, K, F)
+        if use_pal:
+            from .pallas_surfel import surfel_composite_tiles
+
+            blk = _pix_blocks(pix_x, pix_y, dirs)
+            out16 = surfel_composite_tiles(inst, counts, blk, C, cfg)
+        else:
+            inst_valid = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
+            (T, _done, color, dep, nrm, _m1, _m2, dist, med) = surfel_composite(
+                inst, inst_valid, dirs, pix_x, pix_y, C, cfg
+            )
+            out16 = None
+    if out16 is not None:
         color = out16[:, :C]
         dep = out16[:, C]
         T = out16[:, C + 1]
         nrm = out16[:, C + 2 : C + 5]
         med = out16[:, C + 5]
         dist = out16[:, C + 6]
-    else:
-        inst_valid = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
-        (T, _done, color, dep, nrm, _m1, _m2, dist, med) = surfel_composite(
-            inst, inst_valid, dirs, pix_x, pix_y, C, cfg
-        )
 
     def asm1(x):  # [Tn, npix] -> [H, W]
         return x.reshape(gy, gx, th, tw).transpose(0, 2, 1, 3).reshape(

@@ -252,3 +252,36 @@ def test_surfel_bwd_kernel_matches_autodiff_oracle():
     scale = np.abs(dx).max()
     assert scale > 0
     np.testing.assert_allclose(dk, dx, atol=3e-4 * scale, rtol=3e-3)
+
+
+def test_surfel_fused_gather_matches_materialized():
+    """Surfel fused-gather (windowed-DMA) path vs the materialized pallas
+    path: forward bitwise on every output channel, full-pipeline grads
+    match."""
+    cfgm = replace(CFG, backend="pallas", tile_capacity=64, pallas_chunk=8,
+                   instance_capacity=40960)
+    cfgf = replace(cfgm, fused_gather=True)
+    sc, scales2 = _surfel_scene(jax.random.key(31), n=140, H=16, W=256)
+    pk = _pack(sc, scales2, cfg=cfgm)
+    bg = jnp.asarray([0.1, 0.4], jnp.float32)
+    a = jax.jit(lambda p: render_surfels(p, sc.beams, sc.W, bg, cfgm))(pk)
+    b = jax.jit(lambda p: render_surfels(p, sc.beams, sc.W, bg, cfgf))(pk)
+    for field in ("color", "depth", "normal", "median_depth", "distortion",
+                  "final_T"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(b, field)), np.asarray(getattr(a, field)),
+            err_msg=field,
+        )
+    assert int(b.n_overflow) == int(a.n_overflow)
+    assert float(a.occ.max()) > 0.3
+
+    def loss(pk, cfg):
+        o = render_surfels(pk, sc.beams, sc.W, bg, cfg)
+        return (jnp.mean(o.color ** 2) + 0.1 * jnp.mean(o.depth)
+                + 0.01 * jnp.mean(o.distortion) + 0.01 * jnp.mean(o.normal ** 2))
+
+    gm = jax.jit(jax.grad(lambda p: loss(p, cfgm)))(pk)
+    gf = jax.jit(jax.grad(lambda p: loss(p, cfgf)))(pk)
+    assert bool(jnp.isfinite(gf).all())
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gm),
+                               rtol=1e-5, atol=1e-7)
