@@ -111,3 +111,41 @@ gg = jax.jit(jax.grad(sloss, argnums=(0,1)))(sc3.means3d, scales2)
 assert all(bool(jnp.isfinite(x).all()) for x in gg)
 print("surfel grads finite OK")
 print("SURFEL DRIVE PASSED")
+
+# --- round-2 paths: fused-gather kernels + hand-derived surfel backward ---
+CFGF = replace(CFG, fused_gather=True, instance_capacity=200 * 64)
+outf = jax.jit(lambda s: render_tiled(s, sc.beams, sc.W, bg, CFGF))(splats)
+ef = float(jnp.abs(outf.color - out.color).max())
+assert ef == 0.0, f"fused-gather render != materialized: {ef:.2e}"
+gf = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(
+    sc.means3d, sc.scales, sc.opacities, sc.feat)
+# loss closes over CFG; rebuild against CFGF for the fused grads
+def loss_f(means, scales, opac, feat):
+    s = preprocess_gaussians(means, scales, sc.quats, opac, feat, sc.mask,
+                             sc.w2s_rot, sc.w2s_trans, sc.beams, sc.W, CFGF)
+    o = render_tiled(s, sc.beams, sc.W, bg, CFGF)
+    return jnp.mean(o.color**2) + 0.1*jnp.mean(o.depth) + 0.05*jnp.mean(o.occ)
+gf2 = jax.jit(jax.grad(loss_f, argnums=(0, 1, 2, 3)))(
+    sc.means3d, sc.scales, sc.opacities, sc.feat)
+for a, b in zip(g, gf2):
+    rel = float(jnp.abs(a - b).max()) / max(float(jnp.abs(a).max()), 1e-12)
+    assert rel < 1e-4, f"fused grads diverge rel {rel:.2e}"
+print("fused-gather: forward bitwise, grads match — OK")
+
+# surfel: fused forward bitwise + hand-bwd grads finite/nonzero on chip
+CFGSF = replace(CFGF, tile_capacity=256, pallas_chunk=8)
+tsf = jax.jit(lambda p: render_surfels(p, sc3.beams, sc3.W, bg, CFGSF))(pk)
+es2 = float(jnp.abs(tsf.color - tsrf.color).max())
+assert es2 < 1e-6, f"surfel fused != materialized: {es2:.2e}"
+def sloss_f(means, s2):
+    p = preprocess_surfels(means, s2, sc3.quats, sc3.opacities, sc3.feat, sc3.mask,
+                           sc3.w2s_rot, sc3.w2s_trans, sc3.beams, sc3.W, CFGSF)
+    o = render_surfels(p, sc3.beams, sc3.W, bg, CFGSF)
+    return (jnp.mean(o.color**2) + 0.01*jnp.mean(o.distortion)
+            + 0.1*jnp.mean(o.depth) + 0.01*jnp.mean(o.normal**2))
+ggf = jax.jit(jax.grad(sloss_f, argnums=(0, 1)))(sc3.means3d, scales2)
+for a, b in zip(gg, ggf):
+    rel = float(jnp.abs(a - b).max()) / max(float(jnp.abs(a).max()), 1e-12)
+    assert rel < 5e-3, f"surfel fused/hand-bwd grads diverge rel {rel:.2e}"
+print("surfel fused + hand backward on chip — OK")
+print("ROUND-2 DRIVE PASSED")
