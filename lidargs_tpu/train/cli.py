@@ -243,6 +243,8 @@ def run_eval(scene, state, trainer, cfg, logger, compute_chamfer=False,
                     jnp.clip(color[0], 0.0, 1.0),
                     fr.gt_image[1] * fr.gt_image[0],
                 ))
+            # per_view_count.json parity (train.py:435, metrics VISIBLE_COUNT)
+            pv["visible_count"] = float(jnp.sum(out.visible))
             per.append(pv)
         m = mean_metrics(per)
         results[name] = m
