@@ -329,3 +329,41 @@ def test_wandb_logger_fake_module(monkeypatch):
     assert not wb2.active
     wb2.log({"x": 1.0})          # no-op, no crash
     wb2.finish()
+
+
+def test_spherical_harmonics_basis():
+    """eval_sh vs first principles: degree-0 is the constant band; the
+    degree-1 bands reproduce an arbitrary linear function of the direction;
+    rgb<->sh round-trips; and the basis is orthonormal under the sphere
+    measure (Monte-Carlo check, degrees 0-2)."""
+    from lidargs_tpu.utils.sh import eval_sh, rgb_to_sh, sh_to_rgb
+
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(4096, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+
+    # deg 0: constant C0 * coeff
+    sh0 = jnp.ones((1, 1, 1))
+    np.testing.assert_allclose(np.asarray(eval_sh(0, sh0, d[:1])),
+                               0.28209479177387814, rtol=1e-6)
+    # rgb <-> dc round trip
+    rgb = jnp.asarray(rng.uniform(size=(5, 3)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(sh_to_rgb(rgb_to_sh(rgb))), rgb,
+                               rtol=1e-5, atol=1e-6)
+    # deg-1 linear reproduction: f(d) = a + b.d has an exact SH-1 expansion
+    a, b = 0.7, np.array([0.3, -0.5, 0.2])
+    C0, C1 = 0.28209479177387814, 0.4886025119029199
+    coeffs = jnp.asarray(
+        [[a / C0, -b[1] / C1, b[2] / C1, -b[0] / C1]], jnp.float32)[None]
+    got = np.asarray(eval_sh(1, coeffs, d))[:, 0]
+    want = a + np.asarray(d) @ b
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # orthonormality of bands 0..8 under uniform sphere sampling
+    basis = []
+    for i in range(9):
+        c = jnp.zeros((1, 1, 9)).at[0, 0, i].set(1.0)
+        basis.append(np.asarray(eval_sh(2, c, d))[:, 0])
+    B = np.stack(basis)                     # [9, N]
+    gram = 4 * np.pi * (B @ B.T) / d.shape[0]
+    np.testing.assert_allclose(gram, np.eye(9), atol=0.15)
