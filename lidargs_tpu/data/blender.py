@@ -208,6 +208,32 @@ def read_colmap_camera_scene(
                        translate, radius)
 
 
+def camera_to_json(idx: int, cam: CameraFrame) -> dict:
+    """camera_to_JSON (utils/camera_utils.py:64-84): the cameras.json entry
+    the reference's Scene writes for external viewers."""
+    c2w = cam.c2w
+    return {
+        "id": idx,
+        "img_name": cam.image_name,
+        "width": cam.width,
+        "height": cam.height,
+        "position": c2w[:3, 3].tolist(),
+        "rotation": [row.tolist() for row in c2w[:3, :3]],
+        "fy": fov2focal(cam.fov_y, cam.height),
+        "fx": fov2focal(cam.fov_x, cam.width),
+    }
+
+
+def save_cameras_json(path: str, scene: CameraScene) -> str:
+    """Scene.__init__'s cameras.json dump (scene/__init__.py:66-74)."""
+    out = os.path.join(path, "cameras.json")
+    entries = [camera_to_json(i, c)
+               for i, c in enumerate(scene.train_cameras + scene.test_cameras)]
+    with open(out, "w") as f:
+        json.dump(entries, f)
+    return out
+
+
 def load_camera_scene(path: str, **kw) -> CameraScene:
     """sceneLoadTypeCallbacks dispatch (scene/__init__.py:46-58): COLMAP
     layout if sparse/ exists, else Blender transforms_train.json."""

@@ -367,3 +367,24 @@ def test_spherical_harmonics_basis():
     B = np.stack(basis)                     # [9, N]
     gram = 4 * np.pi * (B @ B.T) / d.shape[0]
     np.testing.assert_allclose(gram, np.eye(9), atol=0.15)
+
+
+def test_cameras_json_dump(tmp_path):
+    """cameras.json entries carry the c2w pose + pixel focals
+    (utils/camera_utils.py:64-84)."""
+    from lidargs_tpu.data.blender import load_camera_scene, save_cameras_json
+
+    root = str(tmp_path / "nerf")
+    _write_blender_scene(root, n=3)
+    sc = load_camera_scene(root)
+    out = save_cameras_json(str(tmp_path), sc)
+    with open(out) as f:
+        entries = json.load(f)
+    assert len(entries) == 3 + 2           # train + test
+    e0 = entries[0]
+    cam = sc.train_cameras[0]
+    np.testing.assert_allclose(e0["position"], cam.c2w[:3, 3], atol=1e-9)
+    np.testing.assert_allclose(np.array(e0["rotation"]), cam.c2w[:3, :3],
+                               atol=1e-9)
+    np.testing.assert_allclose(
+        e0["fx"], cam.width / (2 * np.tan(cam.fov_x / 2)), rtol=1e-9)
