@@ -50,12 +50,14 @@ class RasterConfig:
     tile_capacity: int = 512                # sorted instances composited / tile
     chunk: int = 16                         # instances per compositing scan step
     # binning-sort key budget: total (gaussian, tile) instances emitted via
-    # rank-search expansion (rasterize.py bin_instances). 0 = auto
-    # min(V*cap, 4*V) — most gaussians touch 1-4 tiles of the cap-32 rect,
-    # so a 4x-average budget cuts the sorted key count ~8x vs the dense
-    # V*cap grid; -1 = the legacy dense grid (exact, no instance drop);
-    # overflow beyond the budget drops the FARTHEST gaussians' instances
-    # (slots are emitted in depth order) and is counted in n_overflow.
+    # rank-search expansion (rasterize.py bin_instances). 0/-1 = the exact
+    # dense [V, cap] grid (no instance drop). A positive budget sorts E
+    # keys instead of V*cap — worthwhile when E comfortably covers the
+    # true instance total (watch n_overflow: slots are emitted in depth
+    # order, so budget overflow drops the FARTHEST gaussians' instances,
+    # a worse policy than the per-tile nearest-K cap). At the bench
+    # workload the true total is ~10x V (1x128 tiles: row extent
+    # dominates), so ~12*V is the zero-drop budget there.
     instance_capacity: int = 0
     # --- compositing backend ---
     # "auto": pallas kernels on TPU (when the tiling matches the kernel's

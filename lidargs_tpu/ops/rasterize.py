@@ -101,10 +101,13 @@ def _bin_sorted(rect, center, valid, cfg: RasterConfig, gx: int, gy: int,
 
     E = cfg.instance_capacity
     if E == 0:
-        # auto: 4x-average budget at production scale; small scenes (< 64k
-        # emission slots) keep the exact dense grid — their sort is cheap
-        # and tests compare against the unbudgeted golden render
-        E = min(V * cap, max(4 * V, 65536))
+        # auto = exact (dense grid). Measured at the bench workload the
+        # mean tiles-per-gaussian is ~10 of cap 16 (1x128 tiles make the
+        # ROW extent dominate), so an aggressive default budget would
+        # silently drop a large fraction of instances with a global-depth
+        # policy that is worse than the per-tile nearest-K cap. The budget
+        # stays an explicit opt-in, guided by the n_overflow counter.
+        E = -1
     n_lost = jnp.zeros((), jnp.int32)
     if E < 0 or E >= V * cap:
         # legacy dense emission grid: every gaussian owns `cap` slots.

@@ -394,7 +394,7 @@ def render_surfels(
     from .rasterize import _pix_blocks, _use_pallas
 
     use_pal = not golden and _use_pallas(cfg, C)
-    if use_pal and cfg.fused_gather and cfg.instance_capacity >= 0:
+    if use_pal and cfg.fused_gather:
         # fused gather (see rasterize.py): one dense sorted-instance buffer,
         # per-tile windowed DMA in the kernel instead of a [T, K, F] gather
         from .pallas_surfel import surfel_composite_windows

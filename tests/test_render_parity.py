@@ -202,26 +202,25 @@ def test_rank_search_binning_matches_dense_grid():
         np.testing.assert_array_equal(it[t, :ct[t]], idd[t, :ct[t]])
 
 
-def test_render_tiled_auto_budget_matches_dense_at_scale():
-    """Full render through the auto instance budget (>=64k slots engages
-    rank-search) vs the legacy dense grid: identical images when no
-    overflow is reported."""
-    cfg_auto = replace(CFG, max_visible=4096, instance_capacity=0,
-                       max_tiles_per_gaussian=32)
-    cfg_dense = replace(cfg_auto, instance_capacity=-1)
+def test_render_tiled_budget_matches_dense_at_scale():
+    """Full render through a generous explicit instance budget (rank-search
+    emission engaged) vs the exact dense grid: identical images and
+    identical overflow when the budget covers every instance; a starving
+    budget drops farthest-only, counts it, and stays finite."""
+    cfg_dense = replace(CFG, max_visible=4096, instance_capacity=-1,
+                        max_tiles_per_gaussian=32)
     sc = make_scene(jax.random.key(11), n=4096, H=32, W=512)
-    splats = jax.jit(lambda: scene_splats(sc, cfg_auto))()
+    splats = jax.jit(lambda: scene_splats(sc, cfg_dense))()
     bg = jnp.zeros((2,), jnp.float32)
-    a = jax.jit(lambda s: render_tiled(s, sc.beams, sc.W, bg, cfg_auto))(splats)
     d = jax.jit(lambda s: render_tiled(s, sc.beams, sc.W, bg, cfg_dense))(splats)
-    # auto budget = max(4*V, 65536) = 65536 slots for V=4096*cap32=131072
-    # dense slots; assert whichever regime engaged agrees wherever nothing
-    # was dropped
-    if int(a.n_overflow) == int(d.n_overflow):
-        np.testing.assert_array_equal(np.asarray(a.color), np.asarray(d.color))
-        np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(d.depth))
-    else:
-        # budget dropped the farthest instances only: overflow counted and
-        # images still finite
-        assert int(a.n_overflow) > int(d.n_overflow)
-        assert bool(jnp.isfinite(a.color).all())
+
+    cfg_budget = replace(cfg_dense, instance_capacity=4096 * 32)  # full cover
+    a = jax.jit(lambda s: render_tiled(s, sc.beams, sc.W, bg, cfg_budget))(splats)
+    assert int(a.n_overflow) == int(d.n_overflow)
+    np.testing.assert_array_equal(np.asarray(a.color), np.asarray(d.color))
+    np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(d.depth))
+
+    cfg_tight = replace(cfg_dense, instance_capacity=8192)        # starved
+    t = jax.jit(lambda s: render_tiled(s, sc.beams, sc.W, bg, cfg_tight))(splats)
+    assert int(t.n_overflow) > int(d.n_overflow)
+    assert bool(jnp.isfinite(t.color).all())
