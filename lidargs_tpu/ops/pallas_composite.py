@@ -54,7 +54,7 @@ def _cummul(x: jnp.ndarray, ch: int) -> jnp.ndarray:
     """Inclusive prefix product along sublanes (Hillis-Steele)."""
     sh = 1
     while sh < ch:
-        pad = jnp.ones((sh, LANES), jnp.float32)
+        pad = jnp.ones((sh, x.shape[1]), jnp.float32)
         x = x * jnp.concatenate([pad, x[: ch - sh]], axis=0)
         sh *= 2
     return x
@@ -63,7 +63,7 @@ def _cummul(x: jnp.ndarray, ch: int) -> jnp.ndarray:
 def _cumsum(x: jnp.ndarray, ch: int) -> jnp.ndarray:
     sh = 1
     while sh < ch:
-        pad = jnp.zeros((sh, LANES), jnp.float32)
+        pad = jnp.zeros((sh, x.shape[1]), jnp.float32)
         x = x + jnp.concatenate([pad, x[: ch - sh]], axis=0)
         sh *= 2
     return x
@@ -72,7 +72,7 @@ def _cumsum(x: jnp.ndarray, ch: int) -> jnp.ndarray:
 def _cummax(x: jnp.ndarray, ch: int) -> jnp.ndarray:
     sh = 1
     while sh < ch:
-        pad = jnp.zeros((sh, LANES), jnp.float32)
+        pad = jnp.zeros((sh, x.shape[1]), jnp.float32)
         x = jnp.maximum(x, jnp.concatenate([pad, x[: ch - sh]], axis=0))
         sh *= 2
     return x
@@ -115,7 +115,7 @@ def _alpha_pass(f, pix, count, base_row, ch, cfg: RasterConfig):
     e = jnp.exp(power)
     araw = f["op"] * e
     alpha = jnp.minimum(araw, cfg.alpha_clamp)
-    rowi = jax.lax.broadcasted_iota(jnp.int32, (ch, LANES), 0) + base_row
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (ch, dirx.shape[-1]), 0) + base_row
     passed = (
         (rowi < count)
         & (px >= f["x0"]) & (px < f["x1"]) & (py >= f["y0"]) & (py < f["y1"])
@@ -135,7 +135,9 @@ def _chunk_weights(alpha, passed, T, done, cfg: RasterConfig, ch: int):
     a_eff = jnp.where(passed, alpha, 0.0)
     one_m = 1.0 - a_eff
     incl = _cummul(one_m, ch)
-    excl = jnp.concatenate([jnp.ones((1, LANES), jnp.float32), incl[: ch - 1]], axis=0)
+    excl = jnp.concatenate(
+        [jnp.ones((1, alpha.shape[1]), jnp.float32), incl[: ch - 1]], axis=0
+    )
     P = T * excl
     crossing = passed & (P * (1.0 - alpha) < cfg.transmittance_min)
     crossf = jnp.where(crossing, 1.0, 0.0)
@@ -149,7 +151,7 @@ def _chunk_weights(alpha, passed, T, done, cfg: RasterConfig, ch: int):
     # when done>=0.5 nothing is applied and T is unchanged. (float shift:
     # Mosaic rejects boolean concatenate)
     dead_excl = jnp.concatenate(
-        [jnp.zeros((1, LANES), jnp.float32), deadf[: ch - 1]], axis=0
+        [jnp.zeros((1, alpha.shape[1]), jnp.float32), deadf[: ch - 1]], axis=0
     )
     first = crossing & (dead_excl <= 0.0)
     any_cross = jnp.max(crossf, axis=0, keepdims=True)
@@ -168,6 +170,7 @@ def _fwd_kernel(counts_ref, inst_ref, pix_ref, out_ref, *, C, CH, TB, cfg):
         count = counts_ref[pl.program_id(0) * TB + b]   # own trip count +
         pixb = pix_ref[b]                               # early exit each
         pix = (pixb[0:1], pixb[1:2], pixb[2:3], pixb[3:4], pixb[4:5])
+        NP = pixb.shape[-1]
         nch = pl.cdiv(count, CH)
 
         def cond(st):
@@ -189,14 +192,14 @@ def _fwd_kernel(counts_ref, inst_ref, pix_ref, out_ref, *, C, CH, TB, cfg):
 
         init = (
             jnp.zeros((), jnp.int32),
-            jnp.ones((1, LANES), jnp.float32),
-            jnp.zeros((1, LANES), jnp.float32),
-            jnp.zeros((C, LANES), jnp.float32),
-            jnp.zeros((1, LANES), jnp.float32),
+            jnp.ones((1, NP), jnp.float32),
+            jnp.zeros((1, NP), jnp.float32),
+            jnp.zeros((C, NP), jnp.float32),
+            jnp.zeros((1, NP), jnp.float32),
         )
         _, T, _done, cacc, dacc = jax.lax.while_loop(cond, body, init)
         out_ref[b] = jnp.concatenate(
-            [cacc, dacc, T, jnp.zeros((OUT_ROWS - C - 2, LANES), jnp.float32)], axis=0
+            [cacc, dacc, T, jnp.zeros((OUT_ROWS - C - 2, NP), jnp.float32)], axis=0
         )
 
 
@@ -216,6 +219,7 @@ def _bwd_tile(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
     count = counts_ref[pl.program_id(0) * TB + b]
     pixb = pix_ref[b]
     pix = (pixb[0:1], pixb[1:2], pixb[2:3], pixb[3:4], pixb[4:5])
+    NP = pixb.shape[-1]
     res = res_ref[b]
     totc = res[0:C]                      # final color (sum of all applied w*c)
     totd = res[C : C + 1]
@@ -254,7 +258,7 @@ def _bwd_tile(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
         inv1m = 1.0 / (1.0 - alpha)
         dalpha = P * direct - inv1m * (behind + gT * Tfin)
         live = applied & (gm["araw"] <= cfg.alpha_clamp)
-        Z = jnp.zeros((CH, LANES), jnp.float32)
+        Z = jnp.zeros((CH, NP), jnp.float32)
         dalpha = jnp.where(live, dalpha, Z)
         dpower = jnp.where(live, dalpha * gm["araw"], Z)
         dop = jnp.sum(jnp.where(live, dalpha * gm["e"], Z), axis=1, keepdims=True)
@@ -300,10 +304,10 @@ def _bwd_tile(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
 
     init = (
         jnp.zeros((), jnp.int32),
-        jnp.ones((1, LANES), jnp.float32),
-        jnp.zeros((1, LANES), jnp.float32),
-        jnp.zeros((C, LANES), jnp.float32),
-        jnp.zeros((1, LANES), jnp.float32),
+        jnp.ones((1, NP), jnp.float32),
+        jnp.zeros((1, NP), jnp.float32),
+        jnp.zeros((C, NP), jnp.float32),
+        jnp.zeros((1, NP), jnp.float32),
     )
     jax.lax.while_loop(cond, body, init)
 
@@ -339,6 +343,7 @@ def _fwd_kernel_fused(starts_ref, counts_ref, pix_ref, buf_ref, out_ref,
 
     pixb = pix_ref[0]
     pix = (pixb[0:1], pixb[1:2], pixb[2:3], pixb[3:4], pixb[4:5])
+    NP = pixb.shape[-1]
     nch = pl.cdiv(count, CH)
     _fused_window_dma(buf_ref, starts_ref, scr, sem, t, slot, K).wait()
     scratch = scr.at[slot]
@@ -362,14 +367,14 @@ def _fwd_kernel_fused(starts_ref, counts_ref, pix_ref, buf_ref, out_ref,
 
     init = (
         jnp.zeros((), jnp.int32),
-        jnp.ones((1, LANES), jnp.float32),
-        jnp.zeros((1, LANES), jnp.float32),
-        jnp.zeros((C, LANES), jnp.float32),
-        jnp.zeros((1, LANES), jnp.float32),
+        jnp.ones((1, NP), jnp.float32),
+        jnp.zeros((1, NP), jnp.float32),
+        jnp.zeros((C, NP), jnp.float32),
+        jnp.zeros((1, NP), jnp.float32),
     )
     _, T_, _done, cacc, dacc = jax.lax.while_loop(cond, body, init)
     out_ref[0] = jnp.concatenate(
-        [cacc, dacc, T_, jnp.zeros((OUT_ROWS - C - 2, LANES), jnp.float32)], axis=0
+        [cacc, dacc, T_, jnp.zeros((OUT_ROWS - C - 2, NP), jnp.float32)], axis=0
     )
 
 
@@ -402,6 +407,7 @@ def _bwd_kernel_fused(starts_ref, counts_ref, pix_ref, buf_ref, res_ref,
 
     pixb = pix_ref[0]
     pix = (pixb[0:1], pixb[1:2], pixb[2:3], pixb[3:4], pixb[4:5])
+    NP = pixb.shape[-1]
     res = res_ref[0]
     totc = res[0:C]
     totd = res[C : C + 1]
@@ -436,7 +442,7 @@ def _bwd_kernel_fused(starts_ref, counts_ref, pix_ref, buf_ref, res_ref,
         inv1m = 1.0 / (1.0 - alpha)
         dalpha = P * direct - inv1m * (behind + gT * Tfin)
         live = applied & (gm["araw"] <= cfg.alpha_clamp)
-        Z = jnp.zeros((CH, LANES), jnp.float32)
+        Z = jnp.zeros((CH, NP), jnp.float32)
         dalpha = jnp.where(live, dalpha, Z)
         dpower = jnp.where(live, dalpha * gm["araw"], Z)
         dop = jnp.sum(jnp.where(live, dalpha * gm["e"], Z), axis=1, keepdims=True)
@@ -479,10 +485,10 @@ def _bwd_kernel_fused(starts_ref, counts_ref, pix_ref, buf_ref, res_ref,
 
     init = (
         jnp.zeros((), jnp.int32),
-        jnp.ones((1, LANES), jnp.float32),
-        jnp.zeros((1, LANES), jnp.float32),
-        jnp.zeros((C, LANES), jnp.float32),
-        jnp.zeros((1, LANES), jnp.float32),
+        jnp.ones((1, NP), jnp.float32),
+        jnp.zeros((1, NP), jnp.float32),
+        jnp.zeros((C, NP), jnp.float32),
+        jnp.zeros((1, NP), jnp.float32),
     )
     jax.lax.while_loop(cond, body, init)
     out = pltpu.make_async_copy(dscr, dbuf_ref.at[pl.ds(start, K), :], dsem)
@@ -494,6 +500,7 @@ def _fused_fwd_call(buf, starts, counts, pix, C: int, cfg: RasterConfig):
     """buf: [E + K, F] dense depth-sorted instance rows (K zero-padded);
     starts/counts: [T] per-tile windows into buf."""
     T = counts.shape[0]
+    NPIX = pix.shape[-1]
     _, F = buf.shape
     CH = cfg.pallas_chunk
     K = cfg.tile_capacity
@@ -505,13 +512,13 @@ def _fused_fwd_call(buf, starts, counts, pix, C: int, cfg: RasterConfig):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, OUT_ROWS, NPIX), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, OUT_ROWS, NPIX), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, OUT_ROWS, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, OUT_ROWS, NPIX), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, K, F), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -523,6 +530,7 @@ def _fused_fwd_call(buf, starts, counts, pix, C: int, cfg: RasterConfig):
 def _fused_bwd_call(buf, starts, counts, pix, res, g, C: int,
                     cfg: RasterConfig):
     T = counts.shape[0]
+    NPIX = pix.shape[-1]
     E_pad, F = buf.shape
     CH = cfg.pallas_chunk
     K = cfg.tile_capacity
@@ -533,12 +541,12 @@ def _fused_bwd_call(buf, starts, counts, pix, res, g, C: int,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, OUT_ROWS, NPIX), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, OUT_ROWS, NPIX), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, OUT_ROWS, NPIX), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -601,6 +609,7 @@ def _tb_pad(cfg: RasterConfig, T: int):
 
 def _fwd_call(inst, counts, pix, C: int, cfg: RasterConfig):
     T, K, F = inst.shape
+    NPIX = pix.shape[-1]
     CH = cfg.pallas_chunk
     assert K % CH == 0, f"tile_capacity {K} must be a multiple of pallas_chunk {CH}"
     assert C + 2 <= OUT_ROWS
@@ -616,12 +625,12 @@ def _fwd_call(inst, counts, pix, C: int, cfg: RasterConfig):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((TB, K, F), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, OUT_ROWS, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, OUT_ROWS, NPIX), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (TB, OUT_ROWS, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+            (TB, OUT_ROWS, NPIX), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((Tp, OUT_ROWS, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Tp, OUT_ROWS, NPIX), jnp.float32),
         interpret=_interpret(),
     )(counts, inst, pix)
     return out[:T]
@@ -629,6 +638,7 @@ def _fwd_call(inst, counts, pix, C: int, cfg: RasterConfig):
 
 def _bwd_call(inst, counts, pix, res, g, C: int, cfg: RasterConfig):
     T, K, F = inst.shape
+    NPIX = pix.shape[-1]
     CH = cfg.pallas_chunk
     TB, Tp = _tb_pad(cfg, T)
     if Tp != T:
@@ -644,9 +654,9 @@ def _bwd_call(inst, counts, pix, res, g, C: int, cfg: RasterConfig):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((TB, K, F), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, OUT_ROWS, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, OUT_ROWS, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, OUT_ROWS, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, OUT_ROWS, NPIX), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, OUT_ROWS, NPIX), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, OUT_ROWS, NPIX), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TB, K, F), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Tp, K, F), jnp.float32),

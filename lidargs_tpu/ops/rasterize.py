@@ -225,15 +225,17 @@ def _pix_blocks(pix_x, pix_y, dirs):
     return jnp.pad(blk, ((0, 0), (0, 3), (0, 0)))
 
 
-def _use_pallas(cfg: RasterConfig, C: int) -> bool:
+def _use_pallas(cfg: RasterConfig, C: int, surfel: bool = False) -> bool:
     if cfg.backend == "pallas":
         return True
     if cfg.backend == "xla":
         return False
+    lanes_ok = (cfg.tile_h == 1 and cfg.tile_w == 128) if surfel else (
+        cfg.tile_w == 128 and cfg.tile_h in (1, 2, 4)
+    )
     return (
         jax.default_backend() == "tpu"
-        and cfg.tile_h == 1
-        and cfg.tile_w == 128
+        and lanes_ok
         and C + 2 <= 8
         and cfg.tile_capacity % cfg.pallas_chunk == 0
     )

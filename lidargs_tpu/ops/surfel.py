@@ -393,7 +393,7 @@ def render_surfels(
 
     from .rasterize import _pix_blocks, _use_pallas
 
-    use_pal = not golden and _use_pallas(cfg, C)
+    use_pal = not golden and _use_pallas(cfg, C, surfel=True)
     if use_pal and cfg.fused_gather:
         # fused gather (see rasterize.py): one dense sorted-instance buffer,
         # per-tile windowed DMA in the kernel instead of a [T, K, F] gather

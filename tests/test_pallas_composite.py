@@ -146,3 +146,42 @@ def test_fused_gather_gradients_match_materialized():
         assert bool(jnp.isfinite(f).all())
         np.testing.assert_allclose(np.asarray(f), np.asarray(m),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_pallas_tile_h2_matches_1x128():
+    """NPIX-generic kernels: a 2x128 physical tiling must produce the same
+    image as 1x128 (the parity-rect mask makes results tiling-independent)
+    through the pallas path, the fused-gather path, and with matching
+    gradients."""
+    # overflow-free capacities: truncation differs between tilings by
+    # design (per-tile nearest-K), so parity needs K ample on both
+    base = replace(PAL, tile_capacity=256)
+    h2 = replace(PAL, tile_h=2, tile_capacity=512)
+    h2f = replace(h2, fused_gather=True)
+    sc = make_scene(jax.random.key(8), n=200, H=32, W=256)
+    splats = jax.jit(lambda: scene_splats(sc, base))()
+    bg = jnp.asarray([0.3, 0.7], jnp.float32)
+    a = jax.jit(lambda s: render_tiled(s, sc.beams, sc.W, bg, base))(splats)
+    assert int(a.n_overflow) == 0
+    b = jax.jit(lambda s: render_tiled(s, sc.beams, sc.W, bg, h2))(splats)
+    c = jax.jit(lambda s: render_tiled(s, sc.beams, sc.W, bg, h2f))(splats)
+    np.testing.assert_allclose(np.asarray(b.color), np.asarray(a.color),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b.depth), np.asarray(a.depth),
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(c.color), np.asarray(b.color))
+    assert float(a.occ.max()) > 0.5
+
+    target = jax.random.uniform(jax.random.key(9), (2, 32, 256))
+
+    def loss(means, cfg):
+        s = preprocess_gaussians(means, sc.scales, sc.quats, sc.opacities,
+                                 sc.feat, sc.mask, sc.w2s_rot, sc.w2s_trans,
+                                 sc.beams, sc.W, cfg)
+        o = render_tiled(s, sc.beams, sc.W, bg, cfg)
+        return jnp.mean((o.color - target) ** 2) + 0.1 * jnp.mean(o.depth)
+
+    g1 = jax.jit(jax.grad(lambda m: loss(m, base)))(sc.means3d)
+    g2 = jax.jit(jax.grad(lambda m: loss(m, h2)))(sc.means3d)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               rtol=1e-4, atol=1e-6)
