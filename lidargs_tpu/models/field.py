@@ -176,26 +176,54 @@ def generate_neural_gaussians(
     cat = jnp.concatenate([feat, ob_view, ob_dist], 1)
     cat_nodist = jnp.concatenate([feat, ob_view], 1)
 
-    op_in = cat if cfg.add_opacity_dist else cat_nodist
-    neural_op = apply_mlp(params["mlp_opacity"], op_in, final_act=jnp.tanh)  # [C,k]
-    neural_op = neural_op.reshape(-1)
-
-    col_in = cat if cfg.add_color_dist else cat_nodist
-    if cfg.appearance_dim > 0 and "appearance" in params:
-        app = jnp.broadcast_to(params["appearance"][cam_uid], (Cap, cfg.appearance_dim))
-        app_rd = jnp.broadcast_to(params["appearance_rd"][cam_uid], (Cap, cfg.appearance_dim))
-        col_in_c = jnp.concatenate([col_in, app], 1)
-        col_in_r = jnp.concatenate([col_in, app_rd], 1)
+    heads_fusable = (
+        cfg.add_opacity_dist == cfg.add_color_dist == cfg.add_cov_dist
+        and not (cfg.appearance_dim > 0 and "appearance" in params)
+    )
+    if heads_fusable:
+        # all four heads read the SAME input: run their l1/l2 as two fused
+        # GEMMs (weights concatenated on the fly — the param pytree and the
+        # per-output dot products are unchanged, so results are identical;
+        # 8 small matmul launches collapse to 2 MXU calls)
+        x = cat if cfg.add_opacity_dist else cat_nodist
+        names = ("mlp_opacity", "mlp_color", "mlp_raydrop", "mlp_cov")
+        w1 = jnp.concatenate([params[n]["l1"]["w"] for n in names], axis=1)
+        b1 = jnp.concatenate([params[n]["l1"]["b"] for n in names])
+        h = jax.nn.relu(x @ w1 + b1)
+        Hd = params["mlp_opacity"]["l1"]["w"].shape[1]
+        outs = []
+        for i, n in enumerate(names):
+            hi = h[:, i * Hd : (i + 1) * Hd]
+            outs.append(hi @ params[n]["l2"]["w"] + params[n]["l2"]["b"])
+        neural_op = jnp.tanh(outs[0])
+        intensity = jax.nn.sigmoid(outs[1])
+        raydrop = jax.nn.sigmoid(outs[2])
+        scale_rot = outs[3].reshape(Cap * k, 7)
+        neural_op = neural_op.reshape(-1)
+        intensity = intensity.reshape(Cap * k, cfg.color_channel - 1)
+        raydrop = raydrop.reshape(Cap * k, 1)
+        color = jnp.concatenate([intensity, raydrop], 1)
     else:
-        col_in_c = col_in_r = col_in
-    intensity = apply_mlp(params["mlp_color"], col_in_c, final_act=jax.nn.sigmoid)
-    raydrop = apply_mlp(params["mlp_raydrop"], col_in_r, final_act=jax.nn.sigmoid)
-    intensity = intensity.reshape(Cap * k, cfg.color_channel - 1)
-    raydrop = raydrop.reshape(Cap * k, 1)
-    color = jnp.concatenate([intensity, raydrop], 1)
+        op_in = cat if cfg.add_opacity_dist else cat_nodist
+        neural_op = apply_mlp(params["mlp_opacity"], op_in, final_act=jnp.tanh)  # [C,k]
+        neural_op = neural_op.reshape(-1)
 
-    cov_in = cat if cfg.add_cov_dist else cat_nodist
-    scale_rot = apply_mlp(params["mlp_cov"], cov_in).reshape(Cap * k, 7)
+        col_in = cat if cfg.add_color_dist else cat_nodist
+        if cfg.appearance_dim > 0 and "appearance" in params:
+            app = jnp.broadcast_to(params["appearance"][cam_uid], (Cap, cfg.appearance_dim))
+            app_rd = jnp.broadcast_to(params["appearance_rd"][cam_uid], (Cap, cfg.appearance_dim))
+            col_in_c = jnp.concatenate([col_in, app], 1)
+            col_in_r = jnp.concatenate([col_in, app_rd], 1)
+        else:
+            col_in_c = col_in_r = col_in
+        intensity = apply_mlp(params["mlp_color"], col_in_c, final_act=jax.nn.sigmoid)
+        raydrop = apply_mlp(params["mlp_raydrop"], col_in_r, final_act=jax.nn.sigmoid)
+        intensity = intensity.reshape(Cap * k, cfg.color_channel - 1)
+        raydrop = raydrop.reshape(Cap * k, 1)
+        color = jnp.concatenate([intensity, raydrop], 1)
+
+        cov_in = cat if cfg.add_cov_dist else cat_nodist
+        scale_rot = apply_mlp(params["mlp_cov"], cov_in).reshape(Cap * k, 7)
 
     scaling_all = jnp.exp(params["scaling"])                       # [C,6]
     offset_scale = jnp.repeat(scaling_all[:, :3], k, axis=0)       # [C*k,3]

@@ -231,3 +231,55 @@ def test_ssim_matches_dense_f64_reference():
     g = jax.grad(lambda x: 1.0 - ssim(x, jnp.asarray(b, jnp.float32)))(
         jnp.asarray(a, jnp.float32))
     assert bool(jnp.isfinite(g).all())
+
+
+def test_fused_head_decode_matches_separate():
+    """The fused-GEMM head decode must reproduce per-head apply_mlp on the
+    same inputs (weights concatenated on the fly; dots are identical up to
+    GEMM-tiling accumulation order)."""
+    import numpy as _np
+    from lidargs_tpu.config import ModelConfig, RasterConfig
+    from lidargs_tpu.lidar.beams import uniform_beam_inclinations
+    from lidargs_tpu.lidar.frames import LidarFrame
+    from lidargs_tpu.models.field import (
+        generate_neural_gaussians, init_field_from_points, prefilter_anchors,
+    )
+    from lidargs_tpu.models.mlp import apply_mlp
+
+    mcfg = ModelConfig(feat_dim=8, n_offsets=2, mlp_hidden=8,
+                       anchor_capacity=512)
+    rng = _np.random.default_rng(0)
+    az = rng.uniform(-_np.pi, _np.pi, 400)
+    el = rng.uniform(-0.3, 0.1, 400)
+    r = rng.uniform(5.0, 50.0, 400)
+    pts = _np.stack([r * _np.cos(el) * _np.cos(az),
+                     r * _np.cos(el) * _np.sin(az), r * _np.sin(el)], -1)
+    field = init_field_from_points(jax.random.key(0), mcfg, pts, voxel_size=4.0)
+    beams = uniform_beam_inclinations(6.0, 24.0, 8)
+    frame = LidarFrame.from_lidar2world(
+        _np.eye(4), beams, _np.zeros((3, 8, 256), _np.float32), uid=0)
+    av = prefilter_anchors(field.params, field.valid, frame, RasterConfig())
+
+    ng = jax.jit(lambda p: generate_neural_gaussians(
+        p, field.valid, av, frame.center, mcfg, cam_uid=frame.uid))(field.params)
+
+    # hand-rolled separate heads on the same `cat` input
+    p = field.params
+    anchor = p["anchor"]
+    ob = anchor - frame.center
+    d2 = jnp.sum(ob * ob, 1, keepdims=True)
+    ok = d2 > 0
+    dist = jnp.sqrt(jnp.where(ok, d2, 1.0))
+    obv = jnp.where(ok, ob, 0.0) / dist
+    cat = jnp.concatenate([p["feat"], obv, dist], 1)
+    k = mcfg.n_offsets
+    Cap = anchor.shape[0]
+    op = jnp.tanh(apply_mlp(p["mlp_opacity"], cat)).reshape(-1)
+    inten = jax.nn.sigmoid(apply_mlp(p["mlp_color"], cat)).reshape(Cap * k, 1)
+    rd = jax.nn.sigmoid(apply_mlp(p["mlp_raydrop"], cat)).reshape(Cap * k, 1)
+    np.testing.assert_allclose(np.asarray(ng.opacity), np.asarray(op),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ng.feat[:, :1]), np.asarray(inten),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ng.feat[:, 1:]), np.asarray(rd),
+                               rtol=1e-6, atol=1e-7)
