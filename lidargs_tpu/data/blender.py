@@ -167,11 +167,15 @@ def read_blender_scene(
 
 def read_colmap_camera_scene(
     path: str, images_dir: str = "images", eval_split: bool = False,
-    llffhold: int = 8, white_background: bool = False,
+    llffhold: int = 8, lod: int = 0, white_background: bool = False,
 ) -> CameraScene:
     """readColmapSceneInfo (dataset_readers.py:154-213): COLMAP sparse
     reconstruction -> posed cameras (sorted by image name; every llffhold-th
-    becomes test when eval_split) + the triangulated point cloud."""
+    becomes test when eval_split) + the triangulated point cloud.
+
+    `lod` reproduces the reference's LOD split quirk
+    (dataset_readers.py:172-180): lod < 50 puts the FIRST lod+1 cameras in
+    test, lod >= 50 the first lod+1 in train."""
     from .colmap import qvec2rotmat, read_colmap_scene
 
     sc = read_colmap_scene(os.path.join(path, "sparse", "0"))
@@ -197,8 +201,16 @@ def read_colmap_camera_scene(
             width=cam.width, height=cam.height,
         ))
     if eval_split:
-        train = [c for i, c in enumerate(cams) if i % llffhold != 0]
-        test = [c for i, c in enumerate(cams) if i % llffhold == 0]
+        if lod > 0:
+            if lod < 50:
+                train = [c for i, c in enumerate(cams) if i > lod]
+                test = [c for i, c in enumerate(cams) if i <= lod]
+            else:
+                train = [c for i, c in enumerate(cams) if i <= lod]
+                test = [c for i, c in enumerate(cams) if i > lod]
+        else:
+            train = [c for i, c in enumerate(cams) if i % llffhold != 0]
+            test = [c for i, c in enumerate(cams) if i % llffhold == 0]
     else:
         train, test = cams, []
     translate, radius = _nerfpp_norm(train if train else cams)
