@@ -21,7 +21,36 @@ import time
 import numpy as np
 
 
+def _require_tpu(timeout_s: float = 180.0) -> None:
+    """Fail fast (instead of hanging forever) when the axon tunnel is down —
+    jax.devices() blocks indefinitely against a dead tunnel."""
+    import threading
+
+    result = {}
+
+    def probe():
+        import jax
+
+        try:
+            result["devices"] = jax.devices()
+        except Exception as e:           # noqa: BLE001 — report and exit
+            result["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        print(f"# TPU backend unreachable after {timeout_s:.0f}s — "
+              "tunnel down, no benchmark possible", file=sys.stderr)
+        raise SystemExit(3)
+    if "error" in result:
+        print(f"# TPU backend init failed: {result['error']}", file=sys.stderr)
+        raise SystemExit(3)
+
+
 def main() -> None:
+    _require_tpu()
+
     import jax
     import jax.numpy as jnp
 
