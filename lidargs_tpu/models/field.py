@@ -40,10 +40,15 @@ class AnchorField(NamedTuple):
     voxel_size: float            # python float (static)
 
 
-def mlp_input_dims(cfg: ModelConfig) -> dict:
+def mlp_input_dims(cfg: ModelConfig, num_cameras: int = 0) -> dict:
+    """Head input widths. The appearance rows exist only when an appearance
+    embedding will actually be created (appearance_dim > 0 AND there are
+    cameras to index it) — otherwise the color/raydrop heads would expect
+    inputs nothing supplies (ADVICE r2)."""
     d_op = cfg.feat_dim + 3 + (1 if cfg.add_opacity_dist else 0)
     d_cov = cfg.feat_dim + 3 + (1 if cfg.add_cov_dist else 0)
-    d_col = cfg.feat_dim + 3 + (1 if cfg.add_color_dist else 0) + cfg.appearance_dim
+    app = cfg.appearance_dim if (cfg.appearance_dim > 0 and num_cameras > 0) else 0
+    d_col = cfg.feat_dim + 3 + (1 if cfg.add_color_dist else 0) + app
     return {"opacity": d_op, "cov": d_cov, "color": d_col, "raydrop": d_col}
 
 
@@ -51,7 +56,7 @@ def init_field_params(key, cfg: ModelConfig, num_cameras: int = 0) -> dict:
     """MLP heads + empty anchor arrays at capacity (gaussian_model.py:104-141,
     199-202)."""
     C = cfg.anchor_capacity
-    dims = mlp_input_dims(cfg)
+    dims = mlp_input_dims(cfg, num_cameras)
     keys = jax.random.split(key, 8)
     params = {
         "anchor": jnp.zeros((C, 3), jnp.float32),

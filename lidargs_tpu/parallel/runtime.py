@@ -205,12 +205,15 @@ def frame_schedule(seed: int, step: int, global_batch: int, n_frames: int,
     viewpoint_stack.pop(randint) loop (train.py:136-138), generalized to
     B frames per step: a seeded permutation of the frame list is consumed
     B at a time and reshuffled when exhausted."""
-    rng = np.random.default_rng(seed)
-    out: List[int] = []
     start = step * global_batch
-    # regenerate the permutation sequence up to the needed window; cheap
-    # (n_frames is ~50) and keeps the function stateless/pure
+    # Each epoch's permutation is independently seeded by (seed, epoch), so
+    # any window is O(global_batch) to produce — no replaying the history
+    # from step 0 (that made the per-step host cost O(step); ADVICE r2).
+    first_epoch = start // n_frames
+    last_epoch = (start + global_batch - 1) // n_frames
     perm: List[int] = []
-    while len(perm) < start + global_batch:
+    for epoch in range(first_epoch, last_epoch + 1):
+        rng = np.random.default_rng((seed, epoch))
         perm.extend(rng.permutation(n_frames).tolist())
-    return perm[start:start + global_batch]
+    lo = start - first_epoch * n_frames
+    return perm[lo:lo + global_batch]

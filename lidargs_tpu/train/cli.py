@@ -361,15 +361,23 @@ def main(argv=None):
         state = rt.replicate_tree(state, mesh)
 
     if args.load_iteration is not None:
-        # eval-only: metric sweep + FPS + saved PNG renders
-        run_eval(scene, state, trainer, cfg, logger,
-                 compute_chamfer=args.eval_chamfer,
-                 refiner_path=args.raydrop_refiner,
-                 lpips_weights=args.lpips_weights)
-        measure_fps(scene, state, trainer, logger)
-        render_sets(scene, state, trainer, cfg, logger)
-        if args.dump_renders:
-            dump_renders(scene, state, trainer, cfg, logger)
+        # eval-only: metric sweep + FPS + saved PNG renders. Under a
+        # multi-host runtime only the coordinator writes (on a host-local
+        # copy of the state, like the training-loop eval sites) — every
+        # process racing on the same metrics/PNG files corrupts them
+        # (ADVICE r2).
+        if is_coord:
+            hs = jax.tree.map(np.asarray, state) if rt is not None else state
+            run_eval(scene, hs, trainer, cfg, logger,
+                     compute_chamfer=args.eval_chamfer,
+                     refiner_path=args.raydrop_refiner,
+                     lpips_weights=args.lpips_weights)
+            measure_fps(scene, hs, trainer, logger)
+            render_sets(scene, hs, trainer, cfg, logger)
+            if args.dump_renders:
+                dump_renders(scene, hs, trainer, cfg, logger)
+        if rt is not None:
+            rt.sync("eval-only")
         return state
     first_iter = 0
     if args.start_checkpoint is not None:
