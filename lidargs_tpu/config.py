@@ -166,6 +166,15 @@ class OptConfig:
     normal_lambda: float = 0.05
     dist_from: int = 1000
     normal_from: int = 2000
+    # capacity-pressure regularizer — net-new, TPU-specific (no reference
+    # analogue: the CUDA rasterizer has unbounded per-tile lists,
+    # rasterizer_impl.cu:70-112, so opacity inflation is harmless there;
+    # here the static per-tile budget truncates, and late-training opacity
+    # inflation can run away against the corrupted renders). When the
+    # rasterizer reports truncated instances (n_overflow > 0), push the
+    # decoded set's positive opacities down in proportion to the measured
+    # pressure so the model re-fits the budget. Zero disables.
+    overflow_lambda: float = 0.1
 
 
 @dataclass(frozen=True)

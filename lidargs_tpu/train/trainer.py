@@ -113,6 +113,24 @@ def frame_loss(
             out.normal, out.depth, frame.beams, frame.W, hit
         )
         lt = lt._replace(total=lt.total + dist_w * dist_loss + norm_w * nc_loss)
+    if ocfg.overflow_lambda > 0:
+        # Capacity-pressure regularizer (TPU-specific; see OptConfig).
+        # pressure = truncated instances per decoded gaussian — 0 while the
+        # tile budget holds, so the term is inert until truncation begins;
+        # the gradient is a uniform downward force on every decoded
+        # gaussian's opacity, whose magnitude tracks the overflow, so the
+        # decoded set shrinks until it re-fits the budget (gaussians near
+        # the sel>0 gate drop out first).
+        n_sel = jnp.maximum(jnp.sum(ng.sel_mask.astype(jnp.float32)), 1.0)
+        pressure = jax.lax.stop_gradient(
+            out.n_overflow.astype(jnp.float32) / n_sel
+        )
+        op_mass = (
+            jnp.sum(jnp.where(ng.sel_mask, ng.neural_opacity, 0.0)) / n_sel
+        )
+        lt = lt._replace(
+            total=lt.total + ocfg.overflow_lambda * pressure * op_mass
+        )
     return lt.total, (out, ng, anchor_vis, lt)
 
 

@@ -21,3 +21,15 @@ jax.config.update("jax_enable_x64", False)
 
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
 assert jax.device_count() == 8, "tests expect 8 virtual CPU devices"
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two test tiers: `-m core` (< 5 min, the default development loop) and
+    `-m heavy` (multi-process fleets, 8-device shard_map batches, long
+    convergence runs — ~30 min). Every test not explicitly marked heavy is
+    auto-marked core, so the tiers partition the suite."""
+    for item in items:
+        if "heavy" not in item.keywords:
+            item.add_marker(pytest.mark.core)

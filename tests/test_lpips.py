@@ -33,11 +33,10 @@ def test_lpips_zero_for_identical_and_positive_for_different(params):
     np.testing.assert_allclose(d_diff, d_rev, rtol=1e-5)
 
 
-def test_lpips_matches_torch_reference(params):
-    """Bit-for-bit architecture parity vs a torch build of the reference's
-    lpipsPyTorch stack (networks.py BaseNet/VGG16 + lpips.py forward) with
-    identical weights."""
-    torch = pytest.importorskip("torch")
+def _torch_vgg_features(conv_w, conv_b):
+    """A torch Sequential in the torchvision vgg16 `.features` layout
+    (conv-relu runs + maxpools) carrying the given conv weights."""
+    import torch
     import torch.nn as tnn
 
     cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
@@ -51,15 +50,21 @@ def test_lpips_matches_torch_reference(params):
             continue
         conv = tnn.Conv2d(cin, v, 3, padding=1)
         with torch.no_grad():
-            conv.weight.copy_(torch.from_numpy(np.asarray(params["conv_w"][ci])))
-            conv.bias.copy_(torch.from_numpy(np.asarray(params["conv_b"][ci])))
+            conv.weight.copy_(torch.from_numpy(np.asarray(conv_w[ci])))
+            conv.bias.copy_(torch.from_numpy(np.asarray(conv_b[ci])))
         layers.append(conv)
         layers.append(tnn.ReLU())
         ci += 1
         cin = v
-    features = tnn.Sequential(*layers)
-    # .features indices of the tapped relus in the torchvision layout differ
-    # from this flat build; tap after each named relu instead
+    return tnn.Sequential(*layers)
+
+
+def _torch_lpips_fn(features, lin_w):
+    """The reference's lpipsPyTorch forward (networks.py BaseNet/VGG16 +
+    lpips.py) over the given features module + lin conv weights."""
+    import torch
+    import torch.nn as tnn
+
     tap_after_conv = (1, 3, 6, 9, 12)
 
     def torch_feats(x):
@@ -80,7 +85,7 @@ def test_lpips_matches_torch_reference(params):
         fx = torch_feats((x - shift) / scale)
         fy = torch_feats((y - shift) / scale)
         total = 0.0
-        for fxi, fyi, lw in zip(fx, fy, params["lin_w"]):
+        for fxi, fyi, lw in zip(fx, fy, lin_w):
             nx = fxi / (fxi.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
             ny = fyi / (fyi.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
             d = (nx - ny) ** 2
@@ -89,11 +94,61 @@ def test_lpips_matches_torch_reference(params):
             total = total + lin.mean(dim=(1, 2, 3))
         return total
 
+    return torch_lpips
+
+
+def test_lpips_matches_torch_reference(params):
+    """Bit-for-bit architecture parity vs a torch build of the reference's
+    lpipsPyTorch stack (networks.py BaseNet/VGG16 + lpips.py forward) with
+    identical weights."""
+    torch = pytest.importorskip("torch")
+
+    features = _torch_vgg_features(params["conv_w"], params["conv_b"])
+    torch_lpips = _torch_lpips_fn(features, params["lin_w"])
+
     x = np.random.default_rng(3).uniform(size=(2, 3, 32, 64)).astype(np.float32)
     y = np.random.default_rng(4).uniform(size=(2, 3, 32, 64)).astype(np.float32)
     with torch.no_grad():
         ref = torch_lpips(torch.from_numpy(x), torch.from_numpy(y)).numpy()
     got = np.asarray(jax.jit(lpips)(params, jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_converter_output_loads_and_matches_torch(tmp_path):
+    """VERDICT r2 #4: cover tools/convert_lpips_weights.py itself. A
+    random-weight torch stack in the torchvision layout goes through the
+    converter's extraction -> npz -> load_lpips_params, and the JAX LPIPS
+    over the loaded params must match the torch LPIPS over the original
+    modules — so the day a pretrained npz lands, eval emits real LPIPS
+    with no untested code in between."""
+    torch = pytest.importorskip("torch")
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from convert_lpips_weights import extract_lpips_arrays
+
+    g = torch.Generator().manual_seed(11)
+    rnd = random_lpips_params(jax.random.key(9))
+    features = _torch_vgg_features(rnd["conv_w"], rnd["conv_b"])
+    # lpips v0.1 checkpoint key layout: lin{i}.model.1.weight, [1,C,1,1]
+    lin_sd = {
+        f"lin{i}.model.1.weight": torch.rand(
+            (1, c, 1, 1), generator=g
+        )
+        for i, c in enumerate(LIN_CHANNELS)
+    }
+    arrays = extract_lpips_arrays(features, lin_sd)
+    path = str(tmp_path / "conv.npz")
+    np.savez(path, **arrays)
+    loaded = load_lpips_params(path)
+
+    torch_lpips = _torch_lpips_fn(
+        features, [lin_sd[f"lin{i}.model.1.weight"].numpy() for i in range(5)]
+    )
+    x = np.random.default_rng(5).uniform(size=(1, 3, 32, 64)).astype(np.float32)
+    y = np.random.default_rng(6).uniform(size=(1, 3, 32, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = torch_lpips(torch.from_numpy(x), torch.from_numpy(y)).numpy()
+    got = np.asarray(jax.jit(lpips)(loaded, jnp.asarray(x), jnp.asarray(y)))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
 
 

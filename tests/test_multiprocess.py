@@ -7,6 +7,10 @@ collectives, per-host frame loading, non-addressable shards — and
 asserts DP-training parity with a single-process run over the same
 global device count and schedule.
 """
+import pytest
+
+pytestmark = pytest.mark.heavy
+
 import json
 import os
 import socket

@@ -1,4 +1,8 @@
 """Distributed layer tests on the virtual 8-device CPU mesh."""
+import pytest
+
+pytestmark = pytest.mark.heavy
+
 import jax
 import jax.numpy as jnp
 import numpy as np

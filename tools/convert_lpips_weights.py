@@ -10,12 +10,43 @@ Sources match the reference exactly (lpipsPyTorch/modules/networks.py:100 /
 modules/utils.py:11-31): VGG16_Weights.IMAGENET1K_V1 conv stack and
 https://raw.githubusercontent.com/richzhang/PerceptualSimilarity/master/
 lpips/weights/v0.1/vgg.pth lin layers.
+
+The extraction itself is `extract_lpips_arrays` — a pure function of a
+torch module in the torchvision `.features` layout plus the lin state
+dict, so it is covered offline by tests/test_lpips.py with random weights;
+`main()` only supplies the pretrained inputs.
 """
 from __future__ import annotations
 
 import argparse
 
 import numpy as np
+
+
+def extract_lpips_arrays(features, lin_state_dict) -> dict:
+    """torch `.features` Sequential (13 convs in torchvision vgg16 order) +
+    lpips v0.1 lin state dict (`lin{i}...weight` keys, [1,C,1,1]) -> the
+    flat float32 array dict that `np.savez`/`load_lpips_params` use."""
+    import torch
+
+    out = {}
+    ci = 0
+    for layer in features:
+        if isinstance(layer, torch.nn.Conv2d):
+            out[f"conv{ci}_w"] = layer.weight.detach().numpy().astype(np.float32)
+            out[f"conv{ci}_b"] = layer.bias.detach().numpy().astype(np.float32)
+            ci += 1
+    if ci != 13:
+        raise ValueError(f"expected 13 convs, got {ci}")
+
+    for i in range(5):
+        keys = [k for k in lin_state_dict if k.startswith(f"lin{i}")]
+        if not keys:
+            raise ValueError(f"lin{i} weight missing from state dict")
+        out[f"lin{i}_w"] = (
+            lin_state_dict[keys[0]].detach().numpy().astype(np.float32)
+        )
+    return out
 
 
 def main():
@@ -27,23 +58,10 @@ def main():
     from torchvision import models
 
     vgg = models.vgg16(weights=models.VGG16_Weights.IMAGENET1K_V1).features
-    out = {}
-    ci = 0
-    for layer in vgg:
-        if isinstance(layer, torch.nn.Conv2d):
-            out[f"conv{ci}_w"] = layer.weight.detach().numpy().astype(np.float32)
-            out[f"conv{ci}_b"] = layer.bias.detach().numpy().astype(np.float32)
-            ci += 1
-    assert ci == 13, f"expected 13 convs, got {ci}"
-
     url = ("https://raw.githubusercontent.com/richzhang/PerceptualSimilarity/"
            "master/lpips/weights/v0.1/vgg.pth")
     sd = torch.hub.load_state_dict_from_url(url, map_location="cpu")
-    # keys: lin0.model.1.weight .. lin4.model.1.weight, shape [1, C, 1, 1]
-    for i in range(5):
-        key = [k for k in sd if k.startswith(f"lin{i}")][0]
-        out[f"lin{i}_w"] = sd[key].detach().numpy().astype(np.float32)
-
+    out = extract_lpips_arrays(vgg, sd)
     np.savez(args.out, **out)
     print(f"wrote {args.out}: {len(out)} arrays")
 
