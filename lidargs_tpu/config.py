@@ -166,6 +166,15 @@ class OptConfig:
     normal_lambda: float = 0.05
     dist_from: int = 1000
     normal_from: int = 2000
+    # Keep the prune-pass cov log-scale clamp (gaussian_model.py:646-658,
+    # min(scaling, 0.05) on the cov columns) running at the update_interval
+    # cadence AFTER update_until. The reference stops clamping when prune
+    # stops; on the street fixture the unclamped cov scales then grow
+    # ~1 m -> 29 m, and with a static per-tile budget the bloated
+    # near-depth gaussians hog every tile's nearest-K slots and evict the
+    # real geometry (the late-training collapse). The reference's unbounded
+    # per-tile lists merely get slower; ours corrupt — so the clamp stays on.
+    scale_clamp_after_until: bool = True
     # capacity-pressure regularizer — net-new, TPU-specific (no reference
     # analogue: the CUDA rasterizer has unbounded per-tile lists,
     # rasterizer_impl.cu:70-112, so opacity inflation is harmless there;

@@ -462,6 +462,8 @@ def main(argv=None):
                 f"iter {it}: densify +{int(dstats.n_grown)} "
                 f"-{int(dstats.n_pruned)} anchors"
             )
+        elif trainer.should_maintain(it):
+            state = trainer.maintain(state)
         # under a multi-host runtime, eval/saves run coordinator-only on a
         # host-local copy (a fresh jit on the global arrays from a single
         # process would hang waiting for the other hosts)

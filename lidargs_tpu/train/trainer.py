@@ -265,3 +265,29 @@ class Trainer:
             and iteration > o.update_from
             and iteration % o.update_interval == 0
         )
+
+    def should_maintain(self, iteration: int) -> bool:
+        """Post-densify maintenance cadence: keep the prune-pass cov
+        log-scale clamp alive after update_until (OptConfig
+        scale_clamp_after_until — see the rationale there)."""
+        o = self.ocfg
+        return (
+            o.scale_clamp_after_until
+            and iteration >= o.update_until
+            and iteration % o.update_interval == 0
+        )
+
+    def maintain(self, state: TrainState) -> TrainState:
+        return _clamp_cov_scales(state)
+
+
+@jax.jit
+def _clamp_cov_scales(state: TrainState) -> TrainState:
+    """The prune-pass clamp (gaussian_model.py:646-658) as a standalone
+    transform: cov log-scales capped at 0.05, params only (the reference's
+    clamp is a data write; Adam moments are untouched there too)."""
+    p = dict(state.params)
+    p["scaling"] = jnp.concatenate(
+        [p["scaling"][:, :3], jnp.minimum(p["scaling"][:, 3:], 0.05)], axis=1
+    )
+    return state._replace(params=p)

@@ -143,3 +143,41 @@ def test_end_to_end_training_with_densify():
     n1 = int(state.valid.sum())
     assert n1 != n0  # densification actually did something
     assert losses[-1] < losses[0]
+
+
+def test_maintain_clamps_cov_scales_after_update_until():
+    """Post-densify maintenance (VERDICT r2 #2): the prune-pass cov
+    log-scale clamp keeps running at the update_interval cadence after
+    update_until, so cov scales cannot run away once prune stops (the
+    street-fixture collapse: unclamped cov scales grew ~1 m -> 29 m and
+    the bloated gaussians evicted real geometry from the per-tile
+    nearest-K budget)."""
+    state, _ = _state(0)
+    tr = Trainer(mcfg=MCFG, ocfg=OCFG, rcfg=RasterConfig(), bg=jnp.zeros((2,)))
+
+    # cadence: off during the densify era, on at update_interval after
+    assert not tr.should_maintain(OCFG.update_until - OCFG.update_interval)
+    assert tr.should_maintain(OCFG.update_until + OCFG.update_interval)
+    assert not tr.should_maintain(OCFG.update_until + OCFG.update_interval + 1)
+    off = OptConfig(update_interval=OCFG.update_interval,
+                    update_until=OCFG.update_until,
+                    scale_clamp_after_until=False)
+    tr_off = Trainer(mcfg=MCFG, ocfg=off, rcfg=RasterConfig(), bg=jnp.zeros((2,)))
+    assert not tr_off.should_maintain(off.update_until + off.update_interval)
+
+    # the clamp itself: inflate cov log-scales, offset log-scales untouched
+    p = dict(state.params)
+    p["scaling"] = p["scaling"].at[:, 3:].set(3.4).at[:, :3].set(1.7)
+    state = state._replace(params=p)
+    out = tr.maintain(state)
+    np.testing.assert_array_equal(
+        np.asarray(out.params["scaling"][:, 3:]), np.float32(0.05)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.params["scaling"][:, :3]), np.float32(1.7)
+    )
+    # everything else bit-identical
+    for k in ("anchor", "offset", "feat", "rotation", "opacity"):
+        np.testing.assert_array_equal(
+            np.asarray(out.params[k]), np.asarray(state.params[k])
+        )
