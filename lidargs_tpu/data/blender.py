@@ -220,6 +220,68 @@ def read_colmap_camera_scene(
                        translate, radius)
 
 
+def load_camera_at_scale(
+    cam: CameraFrame, resolution_scale: float = 1.0, resolution: int = -1,
+) -> CameraFrame:
+    """loadCam's resolution logic (utils/camera_utils.py:23-62 — upstream
+    3DGS semantics; the reference's LiDAR fork ships that block commented
+    out and always uses full resolution, so this also covers the upstream
+    behavior the fork inherited):
+
+      * resolution in {1,2,4,8}: divide both axes by
+        resolution_scale * resolution (rounded);
+      * resolution == -1: auto-downscale so width <= 1600 px, then apply
+        resolution_scale;
+      * any other value: treat `resolution` as the target width.
+
+    FoV angles are resolution-invariant, so only image/width/height change.
+    """
+    orig_w, orig_h = cam.width, cam.height
+    if resolution in (1, 2, 4, 8):
+        tw = round(orig_w / (resolution_scale * resolution))
+        th = round(orig_h / (resolution_scale * resolution))
+    else:
+        if resolution == -1:
+            global_down = orig_w / 1600.0 if orig_w > 1600 else 1.0
+        else:
+            global_down = orig_w / float(resolution)
+        scale = float(global_down) * float(resolution_scale)
+        tw, th = int(orig_w / scale), int(orig_h / scale)
+    tw, th = max(tw, 1), max(th, 1)
+    image = cam.image
+    if image is not None and (tw, th) != (orig_w, orig_h):
+        from PIL import Image as PILImage
+
+        im = PILImage.fromarray(
+            (np.clip(image, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        )
+        image = np.asarray(
+            im.resize((tw, th), PILImage.BILINEAR), np.float32
+        ) / 255.0
+    return cam._replace(image=image, width=tw, height=th)
+
+
+def camera_lists_by_scale(
+    scene: CameraScene,
+    resolution_scales: Tuple[float, ...] = (1.0,),
+    resolution: int = -1,
+) -> Tuple[dict, dict]:
+    """Scene.__init__'s per-scale camera dicts (scene/__init__.py:60-71 +
+    cameraList_from_camInfos): {resolution_scale: [CameraFrame, ...]} for
+    train and test."""
+    train = {
+        s: [load_camera_at_scale(c, s, resolution)
+            for c in scene.train_cameras]
+        for s in resolution_scales
+    }
+    test = {
+        s: [load_camera_at_scale(c, s, resolution)
+            for c in scene.test_cameras]
+        for s in resolution_scales
+    }
+    return train, test
+
+
 def camera_to_json(idx: int, cam: CameraFrame) -> dict:
     """camera_to_JSON (utils/camera_utils.py:64-84): the cameras.json entry
     the reference's Scene writes for external viewers."""

@@ -85,9 +85,11 @@ def main():
     frames = make_frames(H, W, F, beams)
     field = init_field_from_points(jax.random.key(0), mcfg, pts, voxel_size=8.0)
 
+    variant = cfg.get("variant", "beam")
     mesh = rt.global_mesh(data=-1)
     step_fn = make_dp_trainer(mesh, mcfg, rcfg, ocfg,
-                              bg=jnp.zeros((2,), jnp.float32))
+                              bg=jnp.zeros((2,), jnp.float32),
+                              variant=variant)
     state = rt.replicate_tree(init_train_state(field, mcfg), mesh)
 
     B = cfg["batch"]
@@ -107,6 +109,27 @@ def main():
               f"loss={float(metrics.loss.total):.6f}", flush=True)
 
     rt.sync("end-of-training")
+    # coordinator-gated eval/save, the CLI's pattern (train/cli.py): only
+    # the coordinator computes, on a HOST-LOCAL copy of the replicated
+    # state (a fresh jit over the global arrays from one process would
+    # hang waiting for the other hosts), then everyone re-syncs
+    eval_arrays = {}
+    if rt.is_coordinator:
+        from lidargs_tpu.train.trainer import Trainer
+
+        hs_params = jax.tree.map(np.asarray, state.params)
+        hs_valid = np.asarray(state.valid)
+        tr = Trainer(mcfg=mcfg, ocfg=ocfg, rcfg=rcfg,
+                     bg=jnp.zeros((2,), jnp.float32), variant=variant)
+        out = tr.render(
+            jax.tree.map(jnp.asarray, hs_params), jnp.asarray(hs_valid),
+            frames[0],
+        )
+        eval_arrays = {
+            "eval_occ": np.asarray(out.occ),
+            "eval_depth": np.asarray(out.depth),
+        }
+    rt.sync("post-eval")
     if rt.is_coordinator:
         np.savez(
             cfg["out"],
@@ -118,6 +141,7 @@ def main():
             opacity_accum=np.asarray(state.opacity_accum),
             offset_grad_accum=np.asarray(state.offset_grad_accum),
             step=np.asarray(state.step),
+            **eval_arrays,
         )
     print(f"[p{rt.process_id}] OK", flush=True)
 

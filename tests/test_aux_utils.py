@@ -388,3 +388,44 @@ def test_cameras_json_dump(tmp_path):
                                atol=1e-9)
     np.testing.assert_allclose(
         e0["fx"], cam.width / (2 * np.tan(cam.fov_x / 2)), rtol=1e-9)
+
+
+def test_camera_lists_by_scale(tmp_path):
+    """Per-resolution-scale camera lists (scene/__init__.py:60-71 +
+    upstream loadCam semantics, utils/camera_utils.py:23-62): images
+    resized per scale, FoV preserved, -1 auto-cap at 1600 px, explicit
+    target-width mode."""
+    from lidargs_tpu.data.blender import (
+        camera_lists_by_scale, load_camera_at_scale, load_camera_scene,
+    )
+
+    root = str(tmp_path / "nerf")
+    _write_blender_scene(root)
+    sc = load_camera_scene(root)                       # 32x24 images
+
+    train, test = camera_lists_by_scale(sc, resolution_scales=(1.0, 2.0),
+                                        resolution=1)
+    assert set(train) == {1.0, 2.0} and set(test) == {1.0, 2.0}
+    c1, c2 = train[1.0][0], train[2.0][0]
+    assert (c1.width, c1.height) == (32, 24)
+    assert (c2.width, c2.height) == (16, 12)
+    assert c2.image.shape == (12, 16, 3)
+    # FoV is resolution-invariant
+    assert c2.fov_x == c1.fov_x and c2.fov_y == c1.fov_y
+    # scale 1 with resolution 1 is a no-op (same pixels)
+    np.testing.assert_array_equal(c1.image, sc.train_cameras[0].image)
+
+    # power-of-two divisor mode
+    c4 = load_camera_at_scale(sc.train_cameras[0], 1.0, resolution=4)
+    assert (c4.width, c4.height) == (8, 6)
+
+    # -1 auto mode: width <= 1600 -> untouched
+    ca = load_camera_at_scale(sc.train_cameras[0], 1.0, resolution=-1)
+    assert (ca.width, ca.height) == (32, 24)
+    # -1 auto mode with a large synthetic camera: capped to 1600 wide
+    big = sc.train_cameras[0]._replace(image=None, width=3200, height=2400)
+    cb = load_camera_at_scale(big, 1.0, resolution=-1)
+    assert (cb.width, cb.height) == (1600, 1200)
+    # explicit target width
+    cw = load_camera_at_scale(big, 1.0, resolution=800)
+    assert (cw.width, cw.height) == (800, 600)

@@ -33,7 +33,7 @@ def _free_port() -> int:
 
 
 def _run_fleet(tmp_path, tag, nproc, local_devices, steps=6, batch=4,
-               densify_at=4, timeout=900):
+               densify_at=4, timeout=900, variant="beam"):
     """Launch nproc workers; return the coordinator's saved state npz."""
     port = _free_port()
     out = str(tmp_path / f"{tag}.npz")
@@ -54,6 +54,7 @@ def _run_fleet(tmp_path, tag, nproc, local_devices, steps=6, batch=4,
             "batch": batch,
             "densify_at": densify_at,
             "out": out,
+            "variant": variant,
         }
         log_path = tmp_path / f"{tag}.p{pid}.log"
         log = open(log_path, "w")
@@ -95,6 +96,29 @@ def test_multiprocess_dp_parity(tmp_path):
         # only the gradient all-reduce order differs (gloo ring vs
         # in-process); tolerance covers that float non-associativity
         assert err < 1e-5, f"{k}: multi vs single max err {err}"
+    # coordinator-gated eval on the host-local state (the CLI pattern)
+    # produced the same render either way
+    for k in ("eval_occ", "eval_depth"):
+        assert k in multi and k in single
+        err = np.max(np.abs(multi[k] - single[k]))
+        assert err < 1e-4, f"{k}: multi vs single max err {err}"
+
+
+def test_multiprocess_surfel_dp_parity(tmp_path):
+    """VERDICT r2 #5: the surfel (2DGS) variant under a real 2-process
+    fleet — distortion/normal regularizers, ray-plane rasterizer, and the
+    coordinator-gated eval all cross process boundaries — vs the
+    single-process control."""
+    multi = _run_fleet(tmp_path, "smulti", nproc=2, local_devices=2,
+                       variant="surfel")
+    single = _run_fleet(tmp_path, "ssingle", nproc=1, local_devices=4,
+                        variant="surfel")
+    assert int(multi["step"]) == int(single["step"])
+    np.testing.assert_array_equal(multi["valid"], single["valid"])
+    for k in ("anchor", "offset", "feat", "scaling", "eval_occ",
+              "eval_depth"):
+        err = np.max(np.abs(multi[k] - single[k]))
+        assert err < 1e-4, f"{k}: multi vs single max err {err}"
 
 
 def test_frame_schedule_partitions():
