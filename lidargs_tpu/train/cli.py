@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import math
 import os
 import random
 import sys
@@ -434,6 +435,20 @@ def main(argv=None):
 
         if it % cfg.log_every == 0:
             loss = float(metrics.loss.total)  # sync point
+            if not math.isfinite(loss) and is_coord:
+                # dump-state-on-nonfinite (the reference's rasterizer input
+                # snapshot mechanism, diff_lidargs_rasterization/__init__.py:
+                # 84-96) — deterministic kernels make the dumped state an
+                # exact offline repro; only materialized on failure
+                from ..utils.debug import snapshot_if_nonfinite
+
+                last_frame = (fb if mesh is not None
+                              else scene.data.train_frames[fidx])
+                snapshot_if_nonfinite(
+                    loss, cfg.model_path, it,
+                    jax.tree.map(np.asarray, state.params),
+                    np.asarray(state.valid), last_frame, logger,
+                )
             dt_ms = timer.tick()
             ema = loss if ema is None else 0.4 * loss + 0.6 * ema
             logger.info(

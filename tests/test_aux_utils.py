@@ -429,3 +429,55 @@ def test_camera_lists_by_scale(tmp_path):
     # explicit target width
     cw = load_camera_at_scale(big, 1.0, resolution=800)
     assert (cw.width, cw.height) == (800, 600)
+
+
+def test_nonfinite_snapshot_roundtrip(tmp_path):
+    """Dump-state-on-nonfinite (the reference's rasterizer input snapshot,
+    diff_lidargs_rasterization/__init__.py:84-96): finite loss is a no-op;
+    a NaN loss dumps every render input, and the loaded snapshot re-renders
+    to the same image (deterministic offline repro)."""
+    import jax
+    import jax.numpy as jnp
+    from lidargs_tpu.config import ModelConfig, RasterConfig
+    from lidargs_tpu.lidar.beams import uniform_beam_inclinations
+    from lidargs_tpu.lidar.frames import LidarFrame
+    from lidargs_tpu.models.field import init_field_from_points, render_field
+    from lidargs_tpu.utils.debug import (
+        load_render_snapshot, snapshot_if_nonfinite,
+    )
+
+    mcfg = ModelConfig(feat_dim=8, n_offsets=2, mlp_hidden=8,
+                       anchor_capacity=512)
+    rcfg = RasterConfig(max_visible=256, max_tiles_per_gaussian=8,
+                        tile_capacity=16, chunk=8)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-20, 20, (300, 3))
+    field = init_field_from_points(jax.random.key(0), mcfg, pts,
+                                   voxel_size=4.0)
+    H, W = 8, 256
+    beams = uniform_beam_inclinations(10.0, 30.0, H)
+    gt = rng.uniform(0, 1, (3, H, W)).astype(np.float32)
+    frame = LidarFrame.from_lidar2world(np.eye(4), beams, gt, uid=3)
+
+    # finite -> no dump
+    assert snapshot_if_nonfinite(1.25, str(tmp_path), 100, field.params,
+                                 field.valid, frame) is None
+    assert not os.path.exists(tmp_path / "debug")
+
+    # NaN -> dump, and the snapshot re-renders identically
+    path = snapshot_if_nonfinite(float("nan"), str(tmp_path), 200,
+                                 field.params, field.valid, frame)
+    assert path is not None and os.path.exists(path)
+    params2, valid2, frame2, extra = load_render_snapshot(path)
+    assert int(extra["iteration"]) == 200
+    bg = jnp.zeros((2,), jnp.float32)
+    out1, _, _ = jax.jit(
+        lambda p, v, f: render_field(p, v, f, mcfg, rcfg, bg)
+    )(field.params, field.valid, frame)
+    out2, _, _ = jax.jit(
+        lambda p, v, f: render_field(p, v, f, mcfg, rcfg, bg)
+    )(jax.tree.map(jnp.asarray, params2), jnp.asarray(valid2), frame2)
+    np.testing.assert_array_equal(np.asarray(out1.color),
+                                  np.asarray(out2.color))
+    np.testing.assert_array_equal(np.asarray(out1.depth),
+                                  np.asarray(out2.depth))
