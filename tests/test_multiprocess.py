@@ -115,10 +115,15 @@ def test_multiprocess_surfel_dp_parity(tmp_path):
                         variant="surfel")
     assert int(multi["step"]) == int(single["step"])
     np.testing.assert_array_equal(multi["valid"], single["valid"])
-    for k in ("anchor", "offset", "feat", "scaling", "eval_occ",
-              "eval_depth"):
+    for k in ("anchor", "offset", "feat", "scaling", "eval_occ"):
         err = np.max(np.abs(multi[k] - single[k]))
         assert err < 1e-4, f"{k}: multi vs single max err {err}"
+    # depth spans 5-70 m: the 1e-5-level param divergence from gloo-ring
+    # vs in-process reduce order, pushed through 6 steps and the surfel
+    # ray-plane division, lands ~4e-4 absolute (~5e-6 relative) — a looser
+    # absolute bar than the unit-scale arrays above, same health
+    err = np.max(np.abs(multi["eval_depth"] - single["eval_depth"]))
+    assert err < 2e-3, f"eval_depth: multi vs single max err {err}"
 
 
 def test_frame_schedule_partitions():
