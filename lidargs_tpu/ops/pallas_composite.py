@@ -50,6 +50,18 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _chunk(cfg: RasterConfig) -> int:
+    """Effective sublane chunk: the configured pallas_chunk when it divides
+    tile_capacity, else the largest divisor of tile_capacity below it —
+    pallas_chunk is a perf knob, not a correctness contract, and forcing
+    the pallas/fused backends with a small tile_capacity (tests, CLI
+    --fused_gather) must not trip shape asserts."""
+    K, ch = cfg.tile_capacity, min(cfg.pallas_chunk, cfg.tile_capacity)
+    while K % ch:
+        ch -= 1
+    return ch
+
+
 def _cummul(x: jnp.ndarray, ch: int) -> jnp.ndarray:
     """Inclusive prefix product along sublanes (Hillis-Steele)."""
     sh = 1
@@ -502,7 +514,7 @@ def _fused_fwd_call(buf, starts, counts, pix, C: int, cfg: RasterConfig):
     T = counts.shape[0]
     NPIX = pix.shape[-1]
     _, F = buf.shape
-    CH = cfg.pallas_chunk
+    CH = _chunk(cfg)
     K = cfg.tile_capacity
     assert K % CH == 0
     kernel = functools.partial(_fwd_kernel_fused, C=C, CH=CH, K=K, cfg=cfg)
@@ -532,7 +544,7 @@ def _fused_bwd_call(buf, starts, counts, pix, res, g, C: int,
     T = counts.shape[0]
     NPIX = pix.shape[-1]
     E_pad, F = buf.shape
-    CH = cfg.pallas_chunk
+    CH = _chunk(cfg)
     K = cfg.tile_capacity
     kernel = functools.partial(_bwd_kernel_fused, C=C, CH=CH, K=K, F=F, cfg=cfg)
     return pl.pallas_call(
@@ -610,7 +622,7 @@ def _tb_pad(cfg: RasterConfig, T: int):
 def _fwd_call(inst, counts, pix, C: int, cfg: RasterConfig):
     T, K, F = inst.shape
     NPIX = pix.shape[-1]
-    CH = cfg.pallas_chunk
+    CH = _chunk(cfg)
     assert K % CH == 0, f"tile_capacity {K} must be a multiple of pallas_chunk {CH}"
     assert C + 2 <= OUT_ROWS
     TB, Tp = _tb_pad(cfg, T)
@@ -639,7 +651,7 @@ def _fwd_call(inst, counts, pix, C: int, cfg: RasterConfig):
 def _bwd_call(inst, counts, pix, res, g, C: int, cfg: RasterConfig):
     T, K, F = inst.shape
     NPIX = pix.shape[-1]
-    CH = cfg.pallas_chunk
+    CH = _chunk(cfg)
     TB, Tp = _tb_pad(cfg, T)
     if Tp != T:
         inst = jnp.pad(inst, ((0, Tp - T), (0, 0), (0, 0)))

@@ -55,6 +55,16 @@ def build_config(argv=None):
     p.add_argument("--anchor_capacity", type=int, default=2**17)
     p.add_argument("--max_visible", type=int, default=2**18)
     p.add_argument("--tile_capacity", type=int, default=384)
+    p.add_argument("--tile_h", type=int, default=None,
+                   help="pixel rows per tile (1/2/4; default config). "
+                        "Larger tiles halve the sorted instance count at "
+                        "constant composite work")
+    p.add_argument("--instance_capacity", type=int, default=None,
+                   help="rank-search instance emission budget (0 = exact "
+                        "dense, -1 = legacy expansion; default config)")
+    p.add_argument("--fused_gather", action="store_true",
+                   help="fused-gather windowed-DMA pallas kernels (no "
+                        "[T,K,F] materialization; beam variant)")
     p.add_argument("--raydrop_lambda", type=float, default=None)
     p.add_argument("--raydrop_refiner", default=None,
                    help="apply a trained raydrop-refiner npz (cli refine) "
@@ -144,8 +154,16 @@ def build_config(argv=None):
                           anchor_capacity=args.anchor_capacity),
         opt=replace(OptConfig(), iterations=args.iterations,
                     raydrop_lambda=rd_lambda, depth_min=depth_min),
-        raster=replace(RasterConfig(), max_visible=args.max_visible,
-                       tile_capacity=args.tile_capacity),
+        raster=replace(
+            RasterConfig(), max_visible=args.max_visible,
+            tile_capacity=args.tile_capacity,
+            **{k: v for k, v in (
+                ("tile_h", args.tile_h),
+                ("instance_capacity", args.instance_capacity),
+            ) if v is not None},
+            **({"fused_gather": True, "backend": "pallas"}
+               if args.fused_gather else {}),
+        ),
         data=DataConfig(source_path=args.source_path,
                         data_label=args.data_label,
                         num_frames=args.num_frames),
@@ -217,6 +235,10 @@ def run_eval(scene, state, trainer, cfg, logger, compute_chamfer=False,
     results = {}
     for name, frames in (("test", scene.data.test_frames),
                          ("train", scene.data.train_frames)):
+        if not frames:
+            # tiny fixtures / eval_split-off scenes can have an empty split
+            logger.info(f"[eval {name}] no frames — skipped")
+            continue
         per = []
         for idx, fr in enumerate(frames):
             out = render(state.params, state.valid, fr)
