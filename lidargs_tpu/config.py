@@ -177,13 +177,18 @@ class OptConfig:
     scale_clamp_after_until: bool = True
     # capacity-pressure regularizer — net-new, TPU-specific (no reference
     # analogue: the CUDA rasterizer has unbounded per-tile lists,
-    # rasterizer_impl.cu:70-112, so opacity inflation is harmless there;
-    # here the static per-tile budget truncates, and late-training opacity
-    # inflation can run away against the corrupted renders). When the
-    # rasterizer reports truncated instances (n_overflow > 0), push the
-    # decoded set's positive opacities down in proportion to the measured
-    # pressure so the model re-fits the budget. Zero disables.
-    overflow_lambda: float = 0.1
+    # rasterizer_impl.cu:70-112). When the rasterizer reports truncated
+    # instances (n_overflow > 0), push the decoded set's positive opacities
+    # down in proportion to the measured pressure so the model re-fits the
+    # budget. OFF by default: steady farthest-first truncation is usually
+    # benign (the dropped instances are occluded — a street-fixture run at
+    # 17x over budget still trained well), and an always-on pressure term
+    # over-shrinks the model (measured: visible 66k -> 580 at lambda=0.1).
+    # The late-training runaway this was aimed at is actually driven by
+    # unclamped cov scales and is fixed by scale_clamp_after_until; enable
+    # this (~1e-3..1e-2) only for configs whose overflow grows without
+    # bound AFTER that clamp.
+    overflow_lambda: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -283,3 +283,31 @@ def test_fused_head_decode_matches_separate():
                                rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(np.asarray(ng.feat[:, 1:]), np.asarray(rd),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_overflow_regularizer_engages_under_pressure():
+    """OptConfig.overflow_lambda (TPU-specific safety valve): under per-tile
+    truncation a positive lambda adds pressure * mean positive opacity to
+    the loss and measurably shrinks the decoded set; lambda=0 (default) is
+    exactly the unregularized loss."""
+    frame, _ = _synthetic_frame(jax.random.key(0))
+    field0 = _init_field(jax.random.key(1), frame)
+    # squeeze the tile budget so n_overflow > 0 from the start
+    rcfg = RasterConfig(max_visible=2048, max_tiles_per_gaussian=32,
+                        tile_capacity=8, chunk=8)
+    results = {}
+    for lam in (0.0, 0.5):
+        ocfg = OptConfig(overflow_lambda=lam)
+        tr = Trainer(mcfg=MCFG, ocfg=ocfg, rcfg=rcfg, bg=jnp.zeros((2,)))
+        field = field0._replace(
+            params=jax.tree.map(jnp.array, field0.params),
+            valid=jnp.array(field0.valid),
+        )
+        s = init_train_state(field, MCFG)
+        for i in range(2):
+            s, m = tr.step(s, frame, i + 501)
+        results[lam] = m
+    assert int(results[0.0].n_overflow) > 0
+    # the penalty is part of the total and pushes opacities down
+    assert float(results[0.5].loss.total) > float(results[0.0].loss.total)
+    assert int(results[0.5].n_visible) < int(results[0.0].n_visible)
