@@ -106,3 +106,28 @@ for name, th, K2, E, fused in [
     err = float(jnp.abs(out.color - ref_out.color).max())
     print(f"{name:10s}: {dt*1e3:6.2f} ms/frame  {1/dt:6.1f} FPS  "
           f"overflow={int(out.n_overflow)}  |dcolor|={err:.2e}")
+
+# --- pallas_chunk sweep (prefix-scan length vs early-exit granularity):
+# the composite's ~9x gap to its VPU speed-of-light (tools/roofline.py) is
+# partly the Hillis-Steele prefix over CH sublanes (log2(CH) shifted
+# multiplies) + work past the transmittance crossing; smaller CH shortens
+# both at the cost of more while_loop trips ---
+for ch in (32, 64, 128, 192, 384):
+    if base_rcfg.tile_capacity % ch:
+        continue
+    rcfg = replace(base_rcfg, backend="pallas", pallas_chunk=ch)
+    fwd = jax.jit(lambda p, v, f, rc=rcfg: render_field(p, v, f, mcfg, rc, bg)[0])
+    out = fwd(params, valid, frame)
+    jax.block_until_ready(out.color)
+    for _ in range(5):
+        out = fwd(params, valid, frame)
+    jax.block_until_ready(out.color)
+    n = 30
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fwd(params, valid, frame)
+    jax.block_until_ready(out.color)
+    dt = (time.perf_counter() - t0) / n
+    err = float(jnp.abs(out.color - ref_out.color).max())
+    print(f"chunk {ch:4d}: {dt*1e3:6.2f} ms/frame  {1/dt:6.1f} FPS  "
+          f"|dcolor|={err:.2e}")
