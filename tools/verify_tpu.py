@@ -64,7 +64,7 @@ from lidargs_tpu.models.field import init_field_from_points
 from lidargs_tpu.config import ModelConfig, OptConfig
 from lidargs_tpu.lidar.beams import uniform_beam_inclinations
 from lidargs_tpu.lidar.frames import LidarFrame
-mcfg = ModelConfig(feat_dim=8, n_offsets=2, mlp_hidden=8, anchor_capacity=2048)
+mcfg = ModelConfig(feat_dim=8, n_offsets=2, mlp_hidden=8, anchor_capacity=4096)
 rcfg = RasterConfig(max_visible=4096, max_tiles_per_gaussian=8, tile_capacity=64,
                     chunk=8, pallas_chunk=8)
 H, W = 16, 256
@@ -149,3 +149,30 @@ for a, b in zip(gg, ggf):
     assert rel < 5e-3, f"surfel fused/hand-bwd grads diverge rel {rel:.2e}"
 print("surfel fused + hand backward on chip — OK")
 print("ROUND-2 DRIVE PASSED")
+
+# --- round-3: post-densify maintenance clamp + tile_h=2 NPIX path ---
+from lidargs_tpu.config import ModelConfig, OptConfig
+from lidargs_tpu.models.field import init_field_from_points
+from lidargs_tpu.train.trainer import Trainer, init_train_state
+
+import numpy as _np
+_mc = ModelConfig(feat_dim=16, n_offsets=4, mlp_hidden=16, anchor_capacity=4096)
+_rng = _np.random.default_rng(0)
+_pts = _rng.uniform(-30, 30, (3000, 3))
+_field = init_field_from_points(jax.random.key(0), _mc, _pts, voxel_size=2.0)
+_tr = Trainer(mcfg=_mc, ocfg=OptConfig(), rcfg=CFG, bg=bg)
+_st = init_train_state(_field, _mc)
+_p = dict(_st.params)
+_p["scaling"] = _p["scaling"].at[:, 3:].set(2.5)
+_st = _st._replace(params=_p)
+_st2 = _tr.maintain(_st)
+assert float(_st2.params["scaling"][:, 3:].max()) <= 0.05 + 1e-7
+print("maintain clamp on chip — OK")
+
+CFGH2 = replace(CFG, tile_h=2, tile_capacity=128)
+outh2 = jax.jit(lambda s: render_tiled(s, sc.beams, sc.W, bg, CFGH2))(splats)
+assert bool(jnp.isfinite(outh2.color).all())
+d_h2 = float(jnp.abs(outh2.color - out.color).max())
+print(f"tile_h=2 render on chip: finite, |dcolor| vs h1 {d_h2:.2e} "
+      "(capacity-order differences expected)")
+print("ROUND-3 DRIVE PASSED")
