@@ -39,7 +39,11 @@ def main():
     ap.add_argument("--fused", action="store_true")
     ap.add_argument("--instance_capacity", type=int, default=0)
     ap.add_argument("--anchors", type=int, default=60_000)
+    ap.add_argument("--json", default=None,
+                    help="also dump {stage: ms} json (tools/roofline.py "
+                         "--stage-split input)")
     args = ap.parse_args()
+    stage_ms = {}
 
     import jax
     import jax.numpy as jnp
@@ -87,23 +91,27 @@ def main():
     # fused frame first — the number that matters
     full = jax.jit(lambda p, v, f: render_field(p, v, f, mcfg, rcfg, bg)[0])
     t_full, out = timeit(full, params, valid, frame)
+    stage_ms["full_frame"] = t_full
     print(f"FULL frame          : {t_full:7.2f} ms  ({1e3/t_full:5.1f} FPS)  "
           f"overflow={int(out.n_overflow)}")
 
     # stages
     pf = jax.jit(lambda p, v, f: prefilter_anchors(p, v, f, rcfg))
     t, av = timeit(pf, params, valid, frame)
+    stage_ms["prefilter"] = t
     print(f"prefilter           : {t:7.2f} ms")
 
     dec = jax.jit(lambda p, v, a, f: generate_neural_gaussians(
         p, v, a, f.center, mcfg, cam_uid=f.uid))
     t, ng = timeit(dec, params, valid, av, frame)
+    stage_ms["mlp decode"] = t
     print(f"MLP decode          : {t:7.2f} ms")
 
     proj = jax.jit(lambda ng, f: pack_splats(preprocess_gaussians(
         ng.xyz, ng.scaling, ng.rot, ng.opacity, ng.feat, ng.mask,
         f.w2s_rot, f.w2s_trans, f.beams, f.W, rcfg)))
     t, pk = timeit(proj, ng, frame)
+    stage_ms["projection"] = t
     print(f"projection+pack     : {t:7.2f} ms")
 
     V = min(rcfg.max_visible, pk.shape[0])
@@ -112,6 +120,7 @@ def main():
                           jnp.arange(pk.shape[0], dtype=jnp.int32)),
                          num_keys=1, is_stable=True)[1][:V], axis=0))
     t, pkv = timeit(cull, pk)
+    stage_ms["cull"] = t
     print(f"cull sort           : {t:7.2f} ms")
 
     C = 2
@@ -123,23 +132,34 @@ def main():
         binf = jax.jit(lambda r, c, v: bin_instances_windows(
             r, c, v, rcfg, gx, gy))
         t, (gid, starts, counts, ovf) = timeit(binf, rect, center, vv)
+        stage_ms["instance emission"] = t
         print(f"binning (windows)   : {t:7.2f} ms  overflow={int(ovf)}")
         gat = jax.jit(lambda pk, g: jnp.take(pk, g, axis=0, mode="clip"))
         t, _ = timeit(gat, pkv, gid)
+        stage_ms["instance gather"] = t
         print(f"dense buf gather    : {t:7.2f} ms")
     else:
         binf = jax.jit(lambda r, c, v: bin_instances(r, c, v, rcfg, gx, gy))
         t, (ids, counts, ovf) = timeit(binf, rect, center, vv)
+        stage_ms["instance emission"] = t
         print(f"binning (ids)       : {t:7.2f} ms  overflow={int(ovf)}")
         gat = jax.jit(lambda pk, i: jnp.take(
             pk, i.reshape(-1), axis=0, mode="clip"))
         t, _ = timeit(gat, pkv, ids)
+        stage_ms["instance gather"] = t
         print(f"instance gather     : {t:7.2f} ms")
 
     comp = jax.jit(lambda pkv, f: render_packed_window(
         pkv, f.beams, f.W, rcfg, C))
     t, _ = timeit(comp, pkv, frame)
+    stage_ms["pallas composite"] = t
     print(f"bin+gather+composite: {t:7.2f} ms")
+
+    if args.json:
+        import json as _json
+        with open(args.json, "w") as f:
+            _json.dump(stage_ms, f, indent=1)
+        print(f"stage json -> {args.json}")
 
 
 if __name__ == "__main__":
