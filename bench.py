@@ -6,6 +6,16 @@ render() call — prefilter + MLP decode + splat — with device sync, mean of
 range view (scene/dataset_readers.py:345-347), Scaffold-GS field with k=6
 offsets per anchor.
 
+Self-tuning: the fast render paths (rank-search instance emission, fused
+windowed-DMA gather, tile_h=2, pallas chunk size) were built against an
+interpret-mode oracle while the TPU tunnel was down, so their on-chip
+winners are unknown ahead of time. Rather than ship guessed defaults, the
+bench compiles each candidate under try/except (a Mosaic failure skips the
+variant, never sinks the run), gates it on max |Δcolor| vs the exact dense
+render, quick-times the survivors, then re-times the winner at full length.
+Set BENCH_AUTOTUNE=0 for the plain baseline run, or BENCH_VARIANT=<name>
+to force one candidate.
+
 The reference repo publishes no numbers (BASELINE.md), so vs_baseline is
 reported against the 10 Hz real-time bar of the Waymo LiDAR itself — the
 paper's headline claim is "real-time" re-simulation (readme.md:1,28).
@@ -15,6 +25,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -48,13 +59,28 @@ def _require_tpu(timeout_s: float = 180.0) -> None:
         raise SystemExit(3)
 
 
+def _time_fwd(fwd, args, n_iter: int, warmup: int = 5) -> float:
+    import jax
+
+    out = fwd(*args)
+    jax.block_until_ready(out.color)
+    for _ in range(warmup):
+        out = fwd(*args)
+    jax.block_until_ready(out.color)
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = fwd(*args)
+    jax.block_until_ready(out.color)
+    return (time.perf_counter() - t0) / n_iter
+
+
 def main() -> None:
     _require_tpu()
 
     import jax
     import jax.numpy as jnp
 
-    from lidargs_tpu.config import ModelConfig, RasterConfig
+    from lidargs_tpu.config import ModelConfig, RasterConfig, replace
     from lidargs_tpu.lidar.beams import uniform_beam_inclinations
     from lidargs_tpu.lidar.frames import LidarFrame
     from lidargs_tpu.models.field import init_field_params, render_field
@@ -66,7 +92,7 @@ def main() -> None:
     # sorted instances, gaussians beyond the nearest ~131k never survive the
     # per-tile cut; halving the binning sort this way is worth +44% FPS at
     # mean |err| 4e-6 vs the 2^18 render (measured, see _bench notes).
-    rcfg = RasterConfig(
+    base_rcfg = RasterConfig(
         max_visible=2 ** 17,
         max_tiles_per_gaussian=16,
         tile_capacity=384,
@@ -98,24 +124,71 @@ def main() -> None:
     gt = np.zeros((3, H, W), np.float32)
     frame = LidarFrame.from_lidar2world(np.eye(4), beams, gt, uid=0)
     bg = jnp.zeros((2,), jnp.float32)
+    args = (params, valid, frame)
 
-    fwd = jax.jit(lambda p, v, f: render_field(p, v, f, mcfg, rcfg, bg)[0])
+    def make_fwd(rcfg):
+        return jax.jit(
+            lambda p, v, f, rc=rcfg: render_field(p, v, f, mcfg, rc, bg)[0]
+        )
 
-    out = fwd(params, valid, frame)
-    jax.block_until_ready(out.color)
-    n_vis = int(out.visible.sum())
-    occ = float(out.occ.mean())
+    V = base_rcfg.max_visible
+    # candidate fast paths, cheapest-compile first. tile_h=2 halves the
+    # instance count per sorted key (256-px tiles) but shares one K budget
+    # across two beam rows, so both K=384 (same VMEM) and K=768 (same
+    # per-row budget) are fielded; the Δcolor gate rejects whichever
+    # truncates visibly.
+    variants = [
+        ("12V", dict(instance_capacity=12 * V)),
+        ("ch64", dict(pallas_chunk=64)),
+        ("fused", dict(fused_gather=True)),
+        ("12V+fused", dict(instance_capacity=12 * V, fused_gather=True)),
+        ("h2_K768", dict(tile_h=2, tile_capacity=768)),
+        ("h2_K384", dict(tile_h=2, tile_capacity=384)),
+        ("h2_K768+fused", dict(tile_h=2, tile_capacity=768, fused_gather=True)),
+    ]
 
-    # warmup (reference excludes 5 frames) then timed loop with final sync
-    for _ in range(5):
-        out = fwd(params, valid, frame)
-    jax.block_until_ready(out.color)
-    n_iter = 30
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fwd(params, valid, frame)
-    jax.block_until_ready(out.color)
-    dt = (time.perf_counter() - t0) / n_iter
+    # exact dense render = correctness anchor + timing baseline
+    fwd0 = make_fwd(base_rcfg)
+    out0 = fwd0(*args)
+    jax.block_until_ready(out0.color)
+    n_vis = int(out0.visible.sum())
+    occ = float(out0.occ.mean())
+    base_dt = _time_fwd(fwd0, args, 12)
+    print(f"# base      : {base_dt*1e3:7.2f} ms/frame", file=sys.stderr)
+
+    best_name, best_fwd, best_dt = "base", fwd0, base_dt
+    autotune = os.environ.get("BENCH_AUTOTUNE", "1") != "0"
+    forced = os.environ.get("BENCH_VARIANT")
+    if forced:
+        variants = [v for v in variants if v[0] == forced]
+    # fused-gather variants have never Mosaic-compiled (built against the
+    # interpret oracle during the tunnel outage) — a hard crash (not a
+    # python exception) inside the first compile would sink the whole
+    # bench, so they are additionally gated behind a subprocess-probe-free
+    # try/except; XLA/Mosaic lowering errors do surface as exceptions.
+    if autotune:
+        for name, kw in variants:
+            try:
+                rcfg = replace(base_rcfg, **kw)
+                fwd = make_fwd(rcfg)
+                out = fwd(*args)
+                jax.block_until_ready(out.color)
+                err = float(jnp.abs(out.color - out0.color).max())
+                if not np.isfinite(err) or err > 3e-3:
+                    print(f"# {name:10s}: rejected, |dcolor|={err:.2e}",
+                          file=sys.stderr)
+                    continue
+                dt = _time_fwd(fwd, args, 12, warmup=3)
+                print(f"# {name:10s}: {dt*1e3:7.2f} ms/frame  "
+                      f"|dcolor|={err:.2e}", file=sys.stderr)
+                if dt < best_dt:
+                    best_name, best_fwd, best_dt = name, fwd, dt
+            except Exception as e:  # noqa: BLE001 — skip broken variant
+                msg = repr(e).replace("\n", " ")[:160]
+                print(f"# {name:10s}: skipped ({msg})", file=sys.stderr)
+
+    # final measurement on the winner (reference excludes 5 warmup frames)
+    dt = _time_fwd(best_fwd, args, 30)
 
     fps = 1.0 / dt
     rays_per_s = H * W * fps
@@ -126,7 +199,7 @@ def main() -> None:
         "vs_baseline": round(fps / 10.0, 3),  # 10 Hz LiDAR real-time bar
     }
     print(
-        f"# {n_vis} visible gaussians, mean occ {occ:.3f}, "
+        f"# winner={best_name}  {n_vis} visible gaussians, mean occ {occ:.3f}, "
         f"{rays_per_s/1e6:.1f} Mrays/s, {dt*1e3:.2f} ms/frame",
         file=sys.stderr,
     )
