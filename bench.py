@@ -166,8 +166,17 @@ def main() -> None:
     # python exception) inside the first compile would sink the whole
     # bench, so they are additionally gated behind a subprocess-probe-free
     # try/except; XLA/Mosaic lowering errors do surface as exceptions.
+    # the driver's bench timeout is unknown — stop starting new variants
+    # once the tuning loop has spent its wall-clock budget (each tunnel
+    # compile is ~30-90 s; the winner's numbers stay valid regardless)
+    budget_s = float(os.environ.get("BENCH_TUNE_BUDGET_S", "420"))
+    t_tune = time.perf_counter()
     if autotune:
         for name, kw in variants:
+            if time.perf_counter() - t_tune > budget_s:
+                print(f"# tune budget ({budget_s:.0f}s) spent — "
+                      f"skipping remaining variants", file=sys.stderr)
+                break
             try:
                 rcfg = replace(base_rcfg, **kw)
                 fwd = make_fwd(rcfg)
