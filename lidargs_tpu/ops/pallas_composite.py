@@ -514,6 +514,13 @@ def _fused_fwd_call(buf, starts, counts, pix, C: int, cfg: RasterConfig):
     T = counts.shape[0]
     NPIX = pix.shape[-1]
     _, F = buf.shape
+    # Mosaic requires DMA slice widths aligned to the (1,128) lane tiling:
+    # pad the packed feature dim to a multiple of 128 (the pad lanes ride
+    # along in each window copy; at K=256-384 that is <0.5 ms/frame of HBM
+    # traffic and the alternative — a 24-lane slice — does not compile).
+    F_pad = -(-F // 128) * 128
+    if F_pad != F:
+        buf = jnp.pad(buf, ((0, 0), (0, F_pad - F)))
     CH = _chunk(cfg)
     K = cfg.tile_capacity
     assert K % CH == 0
@@ -532,7 +539,7 @@ def _fused_fwd_call(buf, starts, counts, pix, C: int, cfg: RasterConfig):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, OUT_ROWS, NPIX), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, K, F), jnp.float32),
+            pltpu.VMEM((2, K, F_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
@@ -544,10 +551,15 @@ def _fused_bwd_call(buf, starts, counts, pix, res, g, C: int,
     T = counts.shape[0]
     NPIX = pix.shape[-1]
     E_pad, F = buf.shape
+    F_pad = -(-F // 128) * 128  # lane-tiling alignment, as in the fwd call
+    if F_pad != F:
+        buf = jnp.pad(buf, ((0, 0), (0, F_pad - F)))
     CH = _chunk(cfg)
     K = cfg.tile_capacity
-    kernel = functools.partial(_bwd_kernel_fused, C=C, CH=CH, K=K, F=F, cfg=cfg)
-    return pl.pallas_call(
+    kernel = functools.partial(
+        _bwd_kernel_fused, C=C, CH=CH, K=K, F=F_pad, cfg=cfg
+    )
+    dbuf = pl.pallas_call(
         kernel,
         grid=(T,),
         in_specs=[
@@ -562,15 +574,16 @@ def _fused_bwd_call(buf, starts, counts, pix, res, g, C: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((E_pad, F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((E_pad, F_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, K, F), jnp.float32),
-            pltpu.VMEM((K, F), jnp.float32),
+            pltpu.VMEM((2, K, F_pad), jnp.float32),
+            pltpu.VMEM((K, F_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=_interpret(),
     )(starts, counts, pix, buf, res, g)
+    return dbuf[:, :F] if F_pad != F else dbuf
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

@@ -563,6 +563,11 @@ surfel_composite_tiles.defvjp(_vjp_fwd, _vjp_bwd)
 def _fused_fwd_call(buf, starts, counts, pix, C: int, cfg: RasterConfig):
     T = counts.shape[0]
     _, F = buf.shape
+    # Mosaic requires DMA slice widths aligned to the (1,128) lane tiling
+    # (see pallas_composite._fused_fwd_call): pad the packed feature dim.
+    F_pad = -(-F // 128) * 128
+    if F_pad != F:
+        buf = jnp.pad(buf, ((0, 0), (0, F_pad - F)))
     CH = cfg.pallas_chunk
     K = cfg.tile_capacity
     assert K % CH == 0
@@ -581,7 +586,7 @@ def _fused_fwd_call(buf, starts, counts, pix, C: int, cfg: RasterConfig):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, OUT_ROWS, LANES), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, K, F), jnp.float32),
+            pltpu.VMEM((2, K, F_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
@@ -592,10 +597,15 @@ def _fused_bwd_call(buf, starts, counts, pix, res, g, C: int,
                     cfg: RasterConfig):
     T = counts.shape[0]
     E_pad, F = buf.shape
+    F_pad = -(-F // 128) * 128  # lane-tiling alignment, as in the fwd call
+    if F_pad != F:
+        buf = jnp.pad(buf, ((0, 0), (0, F_pad - F)))
     CH = cfg.pallas_chunk
     K = cfg.tile_capacity
-    kernel = functools.partial(_bwd_kernel_fused, C=C, CH=CH, K=K, F=F, cfg=cfg)
-    return pl.pallas_call(
+    kernel = functools.partial(
+        _bwd_kernel_fused, C=C, CH=CH, K=K, F=F_pad, cfg=cfg
+    )
+    dbuf = pl.pallas_call(
         kernel,
         grid=(T,),
         in_specs=[
@@ -610,15 +620,16 @@ def _fused_bwd_call(buf, starts, counts, pix, res, g, C: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((E_pad, F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((E_pad, F_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, K, F), jnp.float32),
-            pltpu.VMEM((K, F), jnp.float32),
+            pltpu.VMEM((2, K, F_pad), jnp.float32),
+            pltpu.VMEM((K, F_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=_interpret(),
     )(starts, counts, pix, buf, res, g)
+    return dbuf[:, :F] if F_pad != F else dbuf
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

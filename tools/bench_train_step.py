@@ -54,8 +54,11 @@ def main():
     bg = jnp.zeros((2,), jnp.float32)
     ocfg = OptConfig(start_stat=10 ** 9)
 
+    # Host snapshot: train_step donates the state, so the device arrays in
+    # `params` are consumed by the first variant's first step — each variant
+    # must re-init from host copies, not from the deleted device buffers.
+    params_host = jax.device_get(params)
     field = FieldLike()
-    field.params = params
     field.valid = valid
 
     from lidargs_tpu.config import replace as _replace
@@ -65,6 +68,7 @@ def main():
                         ("beam+fused", rcfg_fused),
                         ("surfel+fused", rcfg_fused)):
         base_variant = variant.split("+")[0]
+        field.params = jax.tree.map(jnp.asarray, params_host)
         state = init_train_state(field, mcfg)
         step = jax.jit(functools.partial(
             train_step, bg=bg, mcfg=mcfg, rcfg=vr, ocfg=ocfg,
