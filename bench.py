@@ -137,14 +137,14 @@ def main() -> None:
     # across two beam rows, so both K=384 (same VMEM) and K=768 (same
     # per-row budget) are fielded; the Δcolor gate rejects whichever
     # truncates visibly.
+    # r3 on-chip A/B (tools/bench_binning_ab.py, v5e): h2_K384 11.8 ms vs
+    # base 16.0 ms; rank-search emission (12V: 390 ms) and fused-gather
+    # (+1.7-5.5 ms at every tiling) LOSE and are dropped from the sweep —
+    # measured winners first so the wall-clock budget is spent where it pays.
     variants = [
-        ("12V", dict(instance_capacity=12 * V)),
-        ("ch64", dict(pallas_chunk=64)),
-        ("fused", dict(fused_gather=True)),
-        ("12V+fused", dict(instance_capacity=12 * V, fused_gather=True)),
-        ("h2_K768", dict(tile_h=2, tile_capacity=768)),
         ("h2_K384", dict(tile_h=2, tile_capacity=384)),
-        ("h2_K768+fused", dict(tile_h=2, tile_capacity=768, fused_gather=True)),
+        ("h2_K768", dict(tile_h=2, tile_capacity=768)),
+        ("ch64", dict(pallas_chunk=64)),
     ]
 
     # exact dense render = correctness anchor + timing baseline
@@ -154,7 +154,22 @@ def main() -> None:
     n_vis = int(out0.visible.sum())
     occ = float(out0.occ.mean())
     base_dt = _time_fwd(fwd0, args, 12)
-    print(f"# base      : {base_dt*1e3:7.2f} ms/frame", file=sys.stderr)
+    print(f"# base      : {base_dt*1e3:7.2f} ms/frame  "
+          f"overflow={int(out0.n_overflow)}", file=sys.stderr)
+
+    # quality anchor: a 2x-capacity dense render. Per-tile truncation is
+    # the ONLY thing the fast tilings change, and base itself truncates
+    # (n_overflow above), so base is not a valid golden — a variant that
+    # truncates LESS (h2 dedups instances spanning both beam rows) differs
+    # from base on saturated tiles precisely where it is MORE correct.
+    # Accept a variant iff it is no further from the high-capacity render
+    # than base is (small slack), then pick the fastest accepted.
+    golden = make_fwd(replace(base_rcfg, tile_capacity=2 * base_rcfg.tile_capacity))(*args)
+    jax.block_until_ready(golden.color)
+    base_mae = float(jnp.abs(out0.color - golden.color).mean())
+    print(f"# golden(K{2*base_rcfg.tile_capacity}) overflow="
+          f"{int(golden.n_overflow)}  base MAE={base_mae:.2e}",
+          file=sys.stderr)
 
     best_name, best_fwd, best_dt = "base", fwd0, base_dt
     autotune = os.environ.get("BENCH_AUTOTUNE", "1") != "0"
@@ -182,14 +197,15 @@ def main() -> None:
                 fwd = make_fwd(rcfg)
                 out = fwd(*args)
                 jax.block_until_ready(out.color)
-                err = float(jnp.abs(out.color - out0.color).max())
-                if not np.isfinite(err) or err > 3e-3:
-                    print(f"# {name:10s}: rejected, |dcolor|={err:.2e}",
-                          file=sys.stderr)
+                err = float(jnp.abs(out.color - golden.color).mean())
+                if not np.isfinite(err) or err > base_mae * 1.05 + 1e-6:
+                    print(f"# {name:10s}: rejected, MAE-to-golden="
+                          f"{err:.2e} (base {base_mae:.2e}) "
+                          f"overflow={int(out.n_overflow)}", file=sys.stderr)
                     continue
                 dt = _time_fwd(fwd, args, 12, warmup=3)
                 print(f"# {name:10s}: {dt*1e3:7.2f} ms/frame  "
-                      f"|dcolor|={err:.2e}", file=sys.stderr)
+                      f"MAE-to-golden={err:.2e}  overflow={int(out.n_overflow)}", file=sys.stderr)
                 if dt < best_dt:
                     best_name, best_fwd, best_dt = name, fwd, dt
             except Exception as e:  # noqa: BLE001 — skip broken variant

@@ -58,6 +58,10 @@ class RasterConfig:
     # a worse policy than the per-tile nearest-K cap). At the bench
     # workload the true total is ~10x V (1x128 tiles: row extent
     # dominates), so ~12*V is the zero-drop budget there.
+    # MEASURED on v5e (tools/bench_binning_ab.py, r3): the rank-search
+    # emission LOSES badly on TPU — 12V budget renders 390 ms vs 16 ms
+    # dense at the 64x2650 bench. The [E]-sized emission gathers + the
+    # larger sort row count swamp the key savings; dense stays default.
     instance_capacity: int = 0
     # --- compositing backend ---
     # "auto": pallas kernels on TPU (when the tiling matches the kernel's
@@ -76,7 +80,11 @@ class RasterConfig:
     # fuse the per-tile instance gather into the pallas kernel: instead of
     # materializing [T, K, F] through an XLA row gather, the kernel DMAs
     # each tile's contiguous window of the dense depth-sorted instance
-    # buffer (beam path only; requires the pallas backend)
+    # buffer (beam path only; requires the pallas backend).
+    # MEASURED on v5e (r3): a consistent ~1.7-5.5 ms/frame LOSS vs the
+    # XLA row gather at every tiling tried (dense 16.0->17.8 ms,
+    # h2/K384 11.8->17.3 ms) — XLA's gather pipelines better than the
+    # kernel's serial window DMAs. Stays default-off.
     fused_gather: bool = False
 
     def grid_shape(self, H: int, W: int) -> Tuple[int, int]:

@@ -158,7 +158,13 @@ def build_config(argv=None):
             RasterConfig(), max_visible=args.max_visible,
             tile_capacity=args.tile_capacity,
             **{k: v for k, v in (
-                ("tile_h", args.tile_h),
+                # measured on v5e (tools/bench_binning_ab.py, r3): beam
+                # tile_h=2 renders 16.0->11.8 ms at the 64x2650 bench with
+                # ~35% LESS per-tile overflow (gaussians spanning both rows
+                # occupy one slot instead of two); the surfel pallas kernel
+                # is 1x128-only, so it keeps tile_h=1
+                ("tile_h", args.tile_h if args.tile_h is not None
+                 else (1 if args.surfel else 2)),
                 ("instance_capacity", args.instance_capacity),
             ) if v is not None},
             **({"fused_gather": True, "backend": "pallas"}

@@ -58,17 +58,24 @@ def main():
     # `params` are consumed by the first variant's first step — each variant
     # must re-init from host copies, not from the deleted device buffers.
     params_host = jax.device_get(params)
+    valid_host = jax.device_get(valid)
     field = FieldLike()
-    field.valid = valid
 
     from lidargs_tpu.config import replace as _replace
 
     rcfg_fused = _replace(rcfg, fused_gather=True)
+    rcfg_h2 = _replace(rcfg, tile_h=2)              # new beam CLI default (r3 A/B)
+    rcfg_h2k768 = _replace(rcfg, tile_h=2, tile_capacity=768)
     for variant, vr in (("beam", rcfg), ("surfel", rcfg),
                         ("beam+fused", rcfg_fused),
-                        ("surfel+fused", rcfg_fused)):
+                        ("surfel+fused", rcfg_fused),
+                        ("beam h2/K384", rcfg_h2),
+                        ("beam h2/K768", rcfg_h2k768)):
         base_variant = variant.split("+")[0]
+        # re-materialize from host copies: donate_argnums consumes the
+        # previous variant's device buffers (incl. valid inside the state)
         field.params = jax.tree.map(jnp.asarray, params_host)
+        field.valid = jnp.asarray(valid_host)
         state = init_train_state(field, mcfg)
         step = jax.jit(functools.partial(
             train_step, bg=bg, mcfg=mcfg, rcfg=vr, ocfg=ocfg,
