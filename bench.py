@@ -6,15 +6,17 @@ render() call — prefilter + MLP decode + splat — with device sync, mean of
 range view (scene/dataset_readers.py:345-347), Scaffold-GS field with k=6
 offsets per anchor.
 
-Self-tuning: the fast render paths (rank-search instance emission, fused
-windowed-DMA gather, tile_h=2, pallas chunk size) were built against an
-interpret-mode oracle while the TPU tunnel was down, so their on-chip
-winners are unknown ahead of time. Rather than ship guessed defaults, the
-bench compiles each candidate under try/except (a Mosaic failure skips the
-variant, never sinks the run), gates it on max |Δcolor| vs the exact dense
-render, quick-times the survivors, then re-times the winner at full length.
-Set BENCH_AUTOTUNE=0 for the plain baseline run, or BENCH_VARIANT=<name>
-to force one candidate.
+Self-tuning: the surviving candidate fast paths (tile_h=2 at two K
+budgets, pallas_chunk=64) are A/B'd against the exact dense render each
+run. Rank-search emission (390 ms vs 16 ms dense) and the fused-gather
+windowed-DMA kernels (+1.7-5.5 ms at every tiling) lost their r3 on-chip
+measurements and are out of the sweep — the numbers live next to their
+config knobs (config.py:58-88). Every candidate (and the golden) compiles
+under try/except: a Mosaic failure skips the variant, never sinks the run.
+Acceptance = mean |Δcolor| vs a 2x-capacity golden no worse than base's,
+plus a max-|Δ| backstop against localized corruption that a mean can hide.
+Set BENCH_AUTOTUNE=0 for the plain baseline run (no golden, no variants),
+or BENCH_VARIANT=<name> to force one candidate.
 
 The reference repo publishes no numbers (BASELINE.md), so vs_baseline is
 reported against the 10 Hz real-time bar of the Waymo LiDAR itself — the
@@ -157,35 +159,48 @@ def main() -> None:
     print(f"# base      : {base_dt*1e3:7.2f} ms/frame  "
           f"overflow={int(out0.n_overflow)}", file=sys.stderr)
 
+    best_name, best_fwd, best_dt = "base", fwd0, base_dt
+    autotune = os.environ.get("BENCH_AUTOTUNE", "1") != "0"
+    forced = os.environ.get("BENCH_VARIANT")
+    if forced:
+        variants = [v for v in variants if v[0] == forced]
+    # the driver's bench timeout is unknown — stop starting new variants
+    # once the tuning loop has spent its wall-clock budget (each tunnel
+    # compile is ~30-90 s; the winner's numbers stay valid regardless).
+    # The clock starts BEFORE the golden compile: it is part of the tune
+    # cost, and a slow tunnel must not push the whole run past the driver.
+    budget_s = float(os.environ.get("BENCH_TUNE_BUDGET_S", "420"))
+    t_tune = time.perf_counter()
+
     # quality anchor: a 2x-capacity dense render. Per-tile truncation is
     # the ONLY thing the fast tilings change, and base itself truncates
     # (n_overflow above), so base is not a valid golden — a variant that
     # truncates LESS (h2 dedups instances spanning both beam rows) differs
     # from base on saturated tiles precisely where it is MORE correct.
     # Accept a variant iff it is no further from the high-capacity render
-    # than base is (small slack), then pick the fastest accepted.
-    golden = make_fwd(replace(base_rcfg, tile_capacity=2 * base_rcfg.tile_capacity))(*args)
-    jax.block_until_ready(golden.color)
-    base_mae = float(jnp.abs(out0.color - golden.color).mean())
-    print(f"# golden(K{2*base_rcfg.tile_capacity}) overflow="
-          f"{int(golden.n_overflow)}  base MAE={base_mae:.2e}",
-          file=sys.stderr)
+    # than base is (small slack) — plus a max-|Δ| backstop: a mean gate
+    # alone would accept ~128 fully-corrupted pixels of 169600 — then pick
+    # the fastest accepted. Only needed when variants will be tried; a
+    # golden failure falls back to max|Δcolor|-vs-base gating (strict: it
+    # rejects benign less-truncation differences, never corruption).
+    golden_color, base_mae, base_max = None, None, None
+    if autotune and variants:
+        try:
+            golden = make_fwd(
+                replace(base_rcfg, tile_capacity=2 * base_rcfg.tile_capacity)
+            )(*args)
+            jax.block_until_ready(golden.color)
+            golden_color = golden.color
+            base_mae = float(jnp.abs(out0.color - golden_color).mean())
+            base_max = float(jnp.abs(out0.color - golden_color).max())
+            print(f"# golden(K{2*base_rcfg.tile_capacity}) overflow="
+                  f"{int(golden.n_overflow)}  base MAE={base_mae:.2e} "
+                  f"max={base_max:.2e}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — golden is optional
+            msg = repr(e).replace("\n", " ")[:160]
+            print(f"# golden render failed ({msg}) — falling back to "
+                  f"max|d|-vs-base gate", file=sys.stderr)
 
-    best_name, best_fwd, best_dt = "base", fwd0, base_dt
-    autotune = os.environ.get("BENCH_AUTOTUNE", "1") != "0"
-    forced = os.environ.get("BENCH_VARIANT")
-    if forced:
-        variants = [v for v in variants if v[0] == forced]
-    # fused-gather variants have never Mosaic-compiled (built against the
-    # interpret oracle during the tunnel outage) — a hard crash (not a
-    # python exception) inside the first compile would sink the whole
-    # bench, so they are additionally gated behind a subprocess-probe-free
-    # try/except; XLA/Mosaic lowering errors do surface as exceptions.
-    # the driver's bench timeout is unknown — stop starting new variants
-    # once the tuning loop has spent its wall-clock budget (each tunnel
-    # compile is ~30-90 s; the winner's numbers stay valid regardless)
-    budget_s = float(os.environ.get("BENCH_TUNE_BUDGET_S", "420"))
-    t_tune = time.perf_counter()
     if autotune:
         for name, kw in variants:
             if time.perf_counter() - t_tune > budget_s:
@@ -197,10 +212,18 @@ def main() -> None:
                 fwd = make_fwd(rcfg)
                 out = fwd(*args)
                 jax.block_until_ready(out.color)
-                err = float(jnp.abs(out.color - golden.color).mean())
-                if not np.isfinite(err) or err > base_mae * 1.05 + 1e-6:
+                if golden_color is not None:
+                    err = float(jnp.abs(out.color - golden_color).mean())
+                    errmax = float(jnp.abs(out.color - golden_color).max())
+                    bad = (not np.isfinite(err) or err > base_mae * 1.05 + 1e-6
+                           or not np.isfinite(errmax)
+                           or errmax > max(2.0 * base_max, 1e-3))
+                else:
+                    err = errmax = float(jnp.abs(out.color - out0.color).max())
+                    bad = not np.isfinite(err) or err > 1e-4
+                if bad:
                     print(f"# {name:10s}: rejected, MAE-to-golden="
-                          f"{err:.2e} (base {base_mae:.2e}) "
+                          f"{err:.2e} max={errmax:.2e} "
                           f"overflow={int(out.n_overflow)}", file=sys.stderr)
                     continue
                 dt = _time_fwd(fwd, args, 12, warmup=3)

@@ -158,13 +158,14 @@ def build_config(argv=None):
             RasterConfig(), max_visible=args.max_visible,
             tile_capacity=args.tile_capacity,
             **{k: v for k, v in (
-                # measured on v5e (tools/bench_binning_ab.py, r3): beam
-                # tile_h=2 renders 16.0->11.8 ms at the 64x2650 bench with
-                # ~35% LESS per-tile overflow (gaussians spanning both rows
-                # occupy one slot instead of two); the surfel pallas kernel
-                # is 1x128-only, so it keeps tile_h=1
-                ("tile_h", args.tile_h if args.tile_h is not None
-                 else (1 if args.surfel else 2)),
+                # beam tile_h default stays 1: the r3 on-chip A/B measured
+                # tile_h=2/K384 at 11.8 ms vs 16.0 ms, but BENCH_r03's
+                # quality gate REJECTED that config (MAE-to-golden 2.62e-2
+                # vs base 1.73e-2 — two beam rows share one K budget) and
+                # K768 passed the gate but was slower (17.84 ms). tile_h=2
+                # remains an explicit opt-in via --tile_h until a config
+                # passes both the speed and the quality gate (bench.py).
+                ("tile_h", args.tile_h),
                 ("instance_capacity", args.instance_capacity),
             ) if v is not None},
             **({"fused_gather": True, "backend": "pallas"}

@@ -64,14 +64,14 @@ def main():
     from lidargs_tpu.config import replace as _replace
 
     rcfg_fused = _replace(rcfg, fused_gather=True)
-    rcfg_h2 = _replace(rcfg, tile_h=2)              # new beam CLI default (r3 A/B)
+    rcfg_h2 = _replace(rcfg, tile_h=2)              # opt-in (failed r3 quality gate)
     rcfg_h2k768 = _replace(rcfg, tile_h=2, tile_capacity=768)
     for variant, vr in (("beam", rcfg), ("surfel", rcfg),
                         ("beam+fused", rcfg_fused),
                         ("surfel+fused", rcfg_fused),
                         ("beam h2/K384", rcfg_h2),
                         ("beam h2/K768", rcfg_h2k768)):
-        base_variant = variant.split("+")[0]
+        base_variant = "surfel" if variant.startswith("surfel") else "beam"
         # re-materialize from host copies: donate_argnums consumes the
         # previous variant's device buffers (incl. valid inside the state)
         field.params = jax.tree.map(jnp.asarray, params_host)
