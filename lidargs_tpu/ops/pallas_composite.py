@@ -81,15 +81,6 @@ def _cumsum(x: jnp.ndarray, ch: int) -> jnp.ndarray:
     return x
 
 
-def _cummax(x: jnp.ndarray, ch: int) -> jnp.ndarray:
-    sh = 1
-    while sh < ch:
-        pad = jnp.zeros((sh, x.shape[1]), jnp.float32)
-        x = jnp.maximum(x, jnp.concatenate([pad, x[: ch - sh]], axis=0))
-        sh *= 2
-    return x
-
-
 def _chunk_fields(s: jnp.ndarray, C: int):
     """Split a [CH, F] packed chunk into per-field [CH, 1] columns."""
     col = lambda i: s[:, i : i + 1]
@@ -143,7 +134,16 @@ def _chunk_weights(alpha, passed, T, done, cfg: RasterConfig, ch: int):
     """Prefix-product weights + crossing bookkeeping for one chunk. The
     prefix uses PASSED instances (exactly like composite_chunk): it agrees
     with the true transmittance up to and including the first crossing, and
-    everything at/after the crossing gets w=0."""
+    everything at/after the crossing gets w=0.
+
+    Dead-row detection is ONE compare instead of a crossing scan: `incl` is
+    non-increasing (every factor <= 1), and a crossing at j (passed_j with
+    T*excl_j*(1-alpha_j) = T*incl_j < T_min) exists for some j <= i exactly
+    when T*incl_i < T_min — the first index where incl drops below the
+    threshold is necessarily a passed one, since incl only changes at passed
+    rows. That replaces the previous crossing+cummax+first-crossing-select
+    machinery (a 7-step Hillis-Steele cummax plus shifted selects per chunk,
+    in forward AND backward) with a broadcast multiply and a compare."""
     a_eff = jnp.where(passed, alpha, 0.0)
     one_m = 1.0 - a_eff
     incl = _cummul(one_m, ch)
@@ -151,26 +151,17 @@ def _chunk_weights(alpha, passed, T, done, cfg: RasterConfig, ch: int):
         [jnp.ones((1, alpha.shape[1]), jnp.float32), incl[: ch - 1]], axis=0
     )
     P = T * excl
-    crossing = passed & (P * (1.0 - alpha) < cfg.transmittance_min)
-    crossf = jnp.where(crossing, 1.0, 0.0)
-    deadf = _cummax(crossf, ch)
-    dead = deadf > 0.0
+    Tincl = T * incl
+    dead = Tincl < cfg.transmittance_min      # == "at/after the first crossing"
     applied = passed & ~dead & (done < 0.5)
     w = jnp.where(applied, alpha * P, 0.0)
-    # prod over applied(1-alpha) WITHOUT a second prefix scan: when done<0.5
-    # every passed instance before the FIRST crossing is applied, so the
-    # product is excl[first crossing] — or incl[ch-1] when nothing crossed;
-    # when done>=0.5 nothing is applied and T is unchanged. (float shift:
-    # Mosaic rejects boolean concatenate)
-    dead_excl = jnp.concatenate(
-        [jnp.zeros((1, alpha.shape[1]), jnp.float32), deadf[: ch - 1]], axis=0
-    )
-    first = crossing & (dead_excl <= 0.0)
-    any_cross = jnp.max(crossf, axis=0, keepdims=True)
-    t_sel = jnp.sum(jnp.where(first, excl, 0.0), axis=0, keepdims=True)
-    t_fac = jnp.where(any_cross > 0.0, t_sel, incl[ch - 1 : ch])
+    # T after the chunk = T * incl[last non-dead row] = min of the non-dead
+    # inclusive products (incl is non-increasing; all-dead leaves T unchanged,
+    # matching the walk stopping at the crossing without applying it)
+    t_fac = jnp.min(jnp.where(dead, 1.0, incl), axis=0, keepdims=True)
     T_new = T * jnp.where(done < 0.5, t_fac, 1.0)
-    done_new = jnp.maximum(done, any_cross)
+    # done if the chunk crossed (last row dead) or T itself fell under
+    done_new = jnp.maximum(done, jnp.where(dead[ch - 1 : ch], 1.0, 0.0))
     done_new = jnp.maximum(
         done_new, jnp.where(T_new < cfg.transmittance_min, 1.0, 0.0)
     )

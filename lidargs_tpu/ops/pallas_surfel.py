@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RasterConfig
-from .pallas_composite import LANES, _chunk_weights, _cummax, _cumsum
+from .pallas_composite import LANES, _chunk_weights, _cumsum
 from .surfel import SurfelCols as S
 
 OUT_ROWS = 16  # C color, depth, final_T, normal(3), median, distortion
