@@ -155,10 +155,14 @@ def _chunk_weights(alpha, passed, T, done, cfg: RasterConfig, ch: int):
     dead = Tincl < cfg.transmittance_min      # == "at/after the first crossing"
     applied = passed & ~dead & (done < 0.5)
     w = jnp.where(applied, alpha * P, 0.0)
-    # T after the chunk = T * incl[last non-dead row] = min of the non-dead
-    # inclusive products (incl is non-increasing; all-dead leaves T unchanged,
-    # matching the walk stopping at the crossing without applying it)
-    t_fac = jnp.min(jnp.where(dead, 1.0, incl), axis=0, keepdims=True)
+    # T after the chunk = T * prod over applied rows of (1-alpha): dead rows
+    # contribute factor 1, so it is the last row of a cumprod over the masked
+    # factors (all-dead leaves T unchanged, matching the walk stopping at the
+    # crossing without applying it). A sublane reduce would be fewer ops but
+    # its replicated result layout hits Mosaic's unimplemented sublane
+    # broadcast in the consuming multiply; the cumprod's static [1, NP] slice
+    # lowers cleanly.
+    t_fac = _cummul(jnp.where(dead, 1.0, one_m), ch)[ch - 1 : ch]
     T_new = T * jnp.where(done < 0.5, t_fac, 1.0)
     # done if the chunk crossed (last row dead) or T itself fell under
     done_new = jnp.maximum(done, jnp.where(dead[ch - 1 : ch], 1.0, 0.0))
