@@ -6,12 +6,14 @@ render() call — prefilter + MLP decode + splat — with device sync, mean of
 range view (scene/dataset_readers.py:345-347), Scaffold-GS field with k=6
 offsets per anchor.
 
-Self-tuning: the surviving candidate fast paths (tile_h=2 at two K
-budgets, pallas_chunk=64) are A/B'd against the exact dense render each
-run. Rank-search emission (390 ms vs 16 ms dense) and the fused-gather
-windowed-DMA kernels (+1.7-5.5 ms at every tiling) lost their r3 on-chip
-measurements and are out of the sweep — the numbers live next to their
-config knobs (config.py:58-88). Every candidate (and the golden) compiles
+Self-tuning: the surviving candidate fast paths (wide tiles tile_h=2/4/8
+with matched K budgets and per-gaussian tile caps) are A/B'd against the
+exact dense render each run. Rank-search emission (390 ms vs 16 ms dense),
+the fused-gather windowed-DMA kernels (+1.7-5.5 ms at every tiling), and
+chunk-length changes (noise: ch384 15.95 vs base 16.23 ms, r4 sweep) lost
+their on-chip measurements and are out of the sweep — the numbers live
+next to their config knobs (config.py:58-88) and in
+tools/bench_render_ab.py. Every candidate (and the golden) compiles
 under try/except: a Mosaic failure skips the variant, never sinks the run.
 Acceptance = mean |Δcolor| vs a 2x-capacity golden no worse than base's,
 plus a max-|Δ| backstop against localized corruption that a mean can hide.
@@ -134,19 +136,23 @@ def main() -> None:
         )
 
     V = base_rcfg.max_visible
-    # candidate fast paths, cheapest-compile first. tile_h=2 halves the
-    # instance count per sorted key (256-px tiles) but shares one K budget
-    # across two beam rows, so both K=384 (same VMEM) and K=768 (same
-    # per-row budget) are fielded; the Δcolor gate rejects whichever
-    # truncates visibly.
-    # r3 on-chip A/B (tools/bench_binning_ab.py, v5e): h2_K384 11.8 ms vs
-    # base 16.0 ms; rank-search emission (12V: 390 ms) and fused-gather
-    # (+1.7-5.5 ms at every tiling) LOSE and are dropped from the sweep —
-    # measured winners first so the wall-clock budget is spent where it pays.
+    # candidate fast paths, measured winners first (r4 on-chip sweep,
+    # tools/bench_render_ab.py, v5e 64x2650: base 16.23 ms MAE 1.73e-2;
+    # h2_cap8_K512 13.03 ms MAE 9.97e-3; h4_K768_ch384 13.22 ms MAE
+    # 7.04e-3; h2_K512 13.59 ms MAE 1.36e-2). Wider tiles collapse
+    # duplicate instance emission (one instance where h1 emits up to
+    # tile_h), so they beat base on speed AND truncation error; smaller
+    # per-gaussian tile caps then shrink the binning sort (V*cap keys).
+    # h8 = eight native (8,128) VPU tiles per op, the widest the kernel
+    # supports — fielded from the same sweep's second wave.
     variants = [
-        ("h2_K384", dict(tile_h=2, tile_capacity=384)),
-        ("h2_K768", dict(tile_h=2, tile_capacity=768)),
-        ("ch64", dict(pallas_chunk=64)),
+        ("h8_K1024_cap8", dict(tile_h=8, tile_capacity=1024,
+                               max_tiles_per_gaussian=8)),
+        ("h2_cap8_K512", dict(tile_h=2, tile_capacity=512,
+                              max_tiles_per_gaussian=8)),
+        ("h4_K768_ch384", dict(tile_h=4, tile_capacity=768,
+                               pallas_chunk=384)),
+        ("h2_K512", dict(tile_h=2, tile_capacity=512)),
     ]
 
     # exact dense render = correctness anchor + timing baseline
@@ -240,6 +246,16 @@ def main() -> None:
 
     fps = 1.0 / dt
     rays_per_s = H * W * fps
+    try:  # % of speed-of-light (sum of stage SoLs at this workload)
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+        from roofline import bench_sol_ms
+
+        sol_ms = bench_sol_ms(visible=n_vis)
+        print(f"# SoL(stage-sum)={sol_ms:.2f} ms -> "
+              f"{100.0 * sol_ms / (dt * 1e3):.1f}% of speed-of-light",
+              file=sys.stderr)
+    except Exception:  # noqa: BLE001 — diagnostics only
+        pass
     result = {
         "metric": "render_fps_64x2650_scaffold_k6",
         "value": round(fps, 2),

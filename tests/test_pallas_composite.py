@@ -171,6 +171,14 @@ def test_pallas_tile_h2_matches_1x128():
                                atol=1e-4)
     np.testing.assert_array_equal(np.asarray(c.color), np.asarray(b.color))
     assert float(a.occ.max()) > 0.5
+    # h8: 8 rows x 128 cols per tile = the native (8,128) VPU tile 8-wide;
+    # NPIX=1024 exercises the widest lane layout the kernel supports
+    h8 = replace(PAL, tile_h=8, tile_capacity=1024)
+    d = jax.jit(lambda s: render_tiled(s, sc.beams, sc.W, bg, h8))(splats)
+    np.testing.assert_allclose(np.asarray(d.color), np.asarray(a.color),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d.depth), np.asarray(a.depth),
+                               atol=1e-4)
 
     target = jax.random.uniform(jax.random.key(9), (2, 32, 256))
 

@@ -90,6 +90,24 @@ VARIANTS = {
     "cap12":     dict(max_tiles_per_gaussian=12),
     "h2_K512_ch512_cap8": dict(tile_h=2, tile_capacity=512, pallas_chunk=512,
                                max_tiles_per_gaussian=8),
+    # r4 second wave: tile_h=8 = eight native (8,128) VPU tiles per op.
+    # Wider tiles collapse duplicate emission (one instance where h1 emits
+    # up to 8), so K shrinks per covered pixel AND the per-gaussian tile cap
+    # can drop (most rects now span 1 tile-row) — cutting the binning sort
+    # (V*cap keys) proportionally.
+    "h8_K1024":       dict(tile_h=8, tile_capacity=1024),
+    "h8_K1024_cap8":  dict(tile_h=8, tile_capacity=1024,
+                           max_tiles_per_gaussian=8),
+    "h8_K1024_cap4":  dict(tile_h=8, tile_capacity=1024,
+                           max_tiles_per_gaussian=4),
+    "h8_K1536_cap8":  dict(tile_h=8, tile_capacity=1536,
+                           max_tiles_per_gaussian=8),
+    "h8_K768_cap4":   dict(tile_h=8, tile_capacity=768,
+                           max_tiles_per_gaussian=4),
+    "h4_K768_cap8":   dict(tile_h=4, tile_capacity=768,
+                           max_tiles_per_gaussian=8),
+    "h8_K1024_cap4_ch512": dict(tile_h=8, tile_capacity=1024,
+                                max_tiles_per_gaussian=4, pallas_chunk=512),
 }
 
 

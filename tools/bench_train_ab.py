@@ -1,0 +1,164 @@
+"""Training-quality A/B: identical short trainings under different raster
+configs on the street fixture; compares loss trajectories, step time, and
+test-frame metrics.
+
+Closes bench.py's render-MAE-only blind spot (VERDICT r3 weak #7): a
+default tiling flip changes gradients and densification statistics, not
+just the forward truncation, so flipping the CLI default requires this
+trajectory A/B on top of bench.py's forward gate. Every variant sees the
+exact same frame schedule and densify RNG, so the trajectories differ only
+through the raster config.
+
+    PYTHONPATH=. python tools/bench_train_ab.py \
+        [--variants base,h8_K1024_cap8] [--iters 500] [--W 512]
+
+Variant names come from tools/bench_render_ab.py's VARIANTS table.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench_render_ab import VARIANTS  # noqa: E402
+
+
+def run_variant(name, kw, root, args):
+    import jax
+    import jax.numpy as jnp
+
+    from lidargs_tpu.config import (
+        DataConfig, ModelConfig, OptConfig, RasterConfig, TrainConfig, replace,
+    )
+    from lidargs_tpu.data.scene import Scene
+    from lidargs_tpu.train.metrics import evaluate_frame, mean_metrics
+    from lidargs_tpu.train.trainer import Trainer, init_train_state
+
+    rcfg = replace(
+        RasterConfig(max_visible=args.max_visible,
+                     tile_capacity=args.tile_capacity,
+                     max_tiles_per_gaussian=16, chunk=16),
+        **kw,
+    )
+    cfg = TrainConfig(
+        model=ModelConfig(voxel_size=args.voxel_size,
+                          anchor_capacity=args.anchor_capacity),
+        opt=replace(OptConfig(), iterations=args.iters, depth_min=1.0,
+                    # densify cadence scaled into the short run so the A/B
+                    # exercises grad-stat collection + anchor growth
+                    start_stat=50, update_from=100,
+                    update_interval=100, update_until=max(200, args.iters - 100)),
+        raster=rcfg,
+        data=DataConfig(source_path=root, num_frames=args.frames),
+        model_path=os.path.join(args.outdir, f"run_{name}"),
+        seed=1234,
+    )
+    scene = Scene.create(cfg)
+    trainer = Trainer(mcfg=cfg.model, ocfg=cfg.opt, rcfg=rcfg,
+                      bg=jnp.zeros((2,), jnp.float32))
+    state = init_train_state(scene.field, cfg.model)
+
+    rng = random.Random(cfg.seed)
+    densify_key = jax.random.key(cfg.seed)
+    traj, stack = [], []
+    t_step = 0.0
+    for it in range(1, args.iters + 1):
+        if not stack:
+            stack = list(range(len(scene.data.train_frames)))
+        fidx = stack.pop(rng.randint(0, len(stack) - 1))
+        t0 = time.perf_counter()
+        state, metrics = trainer.step(state, scene.data.train_frames[fidx], it)
+        if it % args.log_every == 0:
+            loss = float(metrics.loss.total)      # sync point
+            traj.append((it, loss))
+        if it > 2:                                # skip compile steps
+            jax.block_until_ready(state.params["anchor"])
+            t_step += time.perf_counter() - t0
+        if trainer.should_densify(int(metrics.n_anchors), it):
+            densify_key, sub = jax.random.split(densify_key)
+            state, _ = trainer.densify(state, sub, scene.field.voxel_size)
+        elif trainer.should_maintain(it):
+            state = trainer.maintain(state)
+
+    per = []
+    # tiny smoke fixtures (<42 frames) have no test split — held-in eval
+    # still ranks variants fairly since every variant sees the same frames
+    eval_frames = scene.data.test_frames or scene.data.train_frames[:3]
+    for fr in eval_frames:
+        out = trainer.render(state.params, state.valid, fr)
+        per.append(evaluate_frame(
+            np.asarray(out.color), np.asarray(out.depth),
+            np.asarray(fr.gt_image), np.asarray(fr.beams), depth_min=1.0,
+            compute_chamfer=False,
+        ))
+    m = mean_metrics(per)
+    return {
+        "variant": name,
+        "loss_trajectory": traj,
+        "final_loss": traj[-1][1] if traj else float("nan"),
+        "step_ms": t_step / max(args.iters - 2, 1) * 1e3,
+        "n_anchors": int(metrics.n_anchors),
+        "n_overflow": int(metrics.n_overflow),
+        "test_psnr": m["intensity_psnr"],
+        "test_ssim": m["intensity_ssim"],
+        "test_depth_mae": m["depth_mae"],
+        "test_raydrop_acc": m["raydrop_acc"],
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="base,h8_K1024_cap8")
+    ap.add_argument("--iters", type=int, default=500)
+    ap.add_argument("--log_every", type=int, default=25)
+    ap.add_argument("--frames", type=int, default=50)
+    ap.add_argument("--H", type=int, default=32)
+    ap.add_argument("--W", type=int, default=512)
+    ap.add_argument("--voxel_size", type=float, default=0.35)
+    ap.add_argument("--anchor_capacity", type=int, default=2 ** 15)
+    ap.add_argument("--max_visible", type=int, default=2 ** 16)
+    ap.add_argument("--tile_capacity", type=int, default=384)
+    ap.add_argument("--outdir", default="/tmp/train_ab")
+    args = ap.parse_args()
+    os.makedirs(args.outdir, exist_ok=True)
+
+    from lidargs_tpu.data.synthetic import make_street_dataset
+
+    root = os.path.join(args.outdir, f"street_{args.H}x{args.W}")
+    if not os.path.exists(os.path.join(root, "transforms_train.json")):
+        make_street_dataset(root, n_frames=args.frames, H=args.H, W=args.W)
+
+    rows = []
+    for name in args.variants.split(","):
+        kw = VARIANTS[name]
+        try:
+            r = run_variant(name, kw, root, args)
+        except Exception as e:  # noqa: BLE001 — keep sweeping
+            print(f"{name}: FAILED {repr(e)[:200]}", flush=True)
+            continue
+        rows.append(r)
+        print(f"{name:20s}: step {r['step_ms']:7.2f} ms  "
+              f"final_loss {r['final_loss']:.4f}  "
+              f"PSNR {r['test_psnr']:.2f}  SSIM {r['test_ssim']:.3f}  "
+              f"depthMAE {r['test_depth_mae']:.3f}  "
+              f"rdacc {r['test_raydrop_acc']:.3f}  "
+              f"anchors {r['n_anchors']}  overflow {r['n_overflow']}",
+              flush=True)
+    out_path = os.path.join(args.outdir, "train_ab.json")
+    with open(out_path, "w") as f:
+        json.dump(rows, f, indent=1)
+    print(f"-> {out_path}", flush=True)
+    if rows:
+        for r in rows:
+            pts = "  ".join(f"{it}:{l:.3f}" for it, l in r["loss_trajectory"][::4])
+            print(f"# {r['variant']}: {pts}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
