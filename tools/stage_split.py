@@ -5,8 +5,17 @@ Per-stage jits carry ~0.5-1 ms dispatch overhead each through the tunnel
 (axon), so stage times overstate small stages — trust the fused frame for
 totals and the deltas between configs for decisions.
 
+--prefix mode fixes that: it times CUMULATIVE pipeline prefixes (each one
+fused jit, one dispatch), so the DELTA between consecutive prefixes is the
+true incremental cost of a stage under full XLA fusion — the standalone
+stage numbers above never sum to the fused frame (r4: 21 ms of stages vs a
+16 ms frame).
+
+--train mode decomposes the full train step the same way (VERDICT r3 #9):
+forward+loss value, +grad, +adam, full step with densify stats.
+
     PYTHONPATH=. python tools/stage_split.py [--tile_h 2] [--fused]
-        [--instance_capacity N]
+        [--instance_capacity N] [--prefix] [--train]
 """
 from __future__ import annotations
 
@@ -39,9 +48,18 @@ def main():
     ap.add_argument("--fused", action="store_true")
     ap.add_argument("--instance_capacity", type=int, default=0)
     ap.add_argument("--anchors", type=int, default=60_000)
+    ap.add_argument("--anchor_capacity", type=int, default=65_536)
+    ap.add_argument("--W", type=int, default=2650)
+    ap.add_argument("--n", type=int, default=20, help="timing iterations")
     ap.add_argument("--json", default=None,
                     help="also dump {stage: ms} json (tools/roofline.py "
                          "--stage-split input)")
+    ap.add_argument("--prefix", action="store_true",
+                    help="cumulative-prefix timing: true incremental stage "
+                         "costs under full fusion (deltas between prefixes)")
+    ap.add_argument("--train", action="store_true",
+                    help="decompose the full train step: fwd+loss, +grad, "
+                         "+adam, +stats")
     args = ap.parse_args()
     stage_ms = {}
 
@@ -60,9 +78,12 @@ def main():
         bin_instances, bin_instances_windows, render_packed_window,
     )
 
-    H, W = 64, 2650
+    H, W = 64, args.W
     N = args.anchors
-    mcfg = ModelConfig(anchor_capacity=65_536)
+    global timeit
+    _timeit = timeit
+    timeit = lambda fn, *a, n=args.n, warmup=3: _timeit(fn, *a, n=n, warmup=warmup)
+    mcfg = ModelConfig(anchor_capacity=args.anchor_capacity)
     rcfg = RasterConfig(
         max_visible=2 ** 17, max_tiles_per_gaussian=16,
         tile_capacity=args.tile_capacity or 384 * args.tile_h,
@@ -94,6 +115,134 @@ def main():
     stage_ms["full_frame"] = t_full
     print(f"FULL frame          : {t_full:7.2f} ms  ({1e3/t_full:5.1f} FPS)  "
           f"overflow={int(out.n_overflow)}")
+
+    if args.prefix:
+        # cumulative prefixes of the exact render_field/render_tiled
+        # pipeline — every prefix is ONE fused jit ending in a tiny
+        # reduction (keeps all outputs live, adds negligible cost), so
+        # consecutive deltas are true incremental stage costs
+        from lidargs_tpu.ops.rasterize import render_tiled
+
+        C2 = 2
+        V = min(rcfg.max_visible, mcfg.anchor_capacity * mcfg.n_offsets)
+        gy, gx = rcfg.grid_shape(H, W)
+
+        def upto_prefilter(p, v, f):
+            return prefilter_anchors(p, v, f, rcfg).sum()
+
+        def _ng(p, v, f):
+            av = prefilter_anchors(p, v, f, rcfg)
+            return generate_neural_gaussians(p, v, av, f.center, mcfg,
+                                             cam_uid=f.uid)
+
+        def upto_decode(p, v, f):
+            ng = _ng(p, v, f)
+            return sum(jnp.sum(x) for x in
+                       (ng.xyz, ng.feat, ng.opacity, ng.scaling, ng.rot))
+
+        def _pk(p, v, f):
+            ng = _ng(p, v, f)
+            return pack_splats(preprocess_gaussians(
+                ng.xyz, ng.scaling, ng.rot, ng.opacity, ng.feat, ng.mask,
+                f.w2s_rot, f.w2s_trans, f.beams, f.W, rcfg))
+
+        def upto_project(p, v, f):
+            return jnp.sum(_pk(p, v, f), axis=0)        # all cols live
+
+        def _pkv(p, v, f):
+            pk = _pk(p, v, f)
+            _, sel = jax.lax.sort(
+                (pk[:, PackedCols.DEPTH],
+                 jnp.arange(pk.shape[0], dtype=jnp.int32)),
+                num_keys=1, is_stable=True)
+            return jnp.take(pk, sel[:V], axis=0, mode="clip")
+
+        def upto_cull(p, v, f):
+            return jnp.sum(_pkv(p, v, f), axis=0)
+
+        def upto_bin(p, v, f):
+            pkv = _pkv(p, v, f)
+            ids, counts, ovf = bin_instances(
+                pkv[:, PackedCols.rect(C2)].astype(jnp.int32),
+                pkv[:, PackedCols.center(C2)],
+                pkv[:, PackedCols.validf(C2)] > 0.0, rcfg, gx, gy)
+            return jnp.sum(ids) + jnp.sum(counts) + ovf
+
+        def upto_gather(p, v, f):
+            pkv = _pkv(p, v, f)
+            ids, counts, ovf = bin_instances(
+                pkv[:, PackedCols.rect(C2)].astype(jnp.int32),
+                pkv[:, PackedCols.center(C2)],
+                pkv[:, PackedCols.validf(C2)] > 0.0, rcfg, gx, gy)
+            inst = jnp.take(pkv, ids.reshape(-1), axis=0, mode="clip")
+            return jnp.sum(inst) + jnp.sum(counts) + ovf
+
+        prev = 0.0
+        for name, fn in (
+            ("prefilter", upto_prefilter), ("decode", upto_decode),
+            ("project+pack", upto_project), ("cull sort", upto_cull),
+            ("bin sort", upto_bin), ("gather", upto_gather),
+        ):
+            t, _ = timeit(jax.jit(fn), params, valid, frame)
+            stage_ms[f"prefix {name}"] = t
+            print(f"upto {name:15s}: {t:7.2f} ms  (+{t - prev:6.2f})")
+            prev = t
+        print(f"upto composite (full): {t_full:7.2f} ms  "
+              f"(+{t_full - prev:6.2f})")
+
+    if args.train:
+        # train-step decomposition (VERDICT r3 #9): the same cumulative-
+        # prefix idea over fwd+loss -> +grad -> +adam -> full step w/ stats
+        from lidargs_tpu.config import OptConfig
+        from lidargs_tpu.models.field import AnchorField
+        from lidargs_tpu.train.trainer import (
+            Trainer, frame_loss, init_train_state, train_step,
+        )
+
+        ocfg = OptConfig()
+        state = init_train_state(
+            AnchorField(params=params, valid=valid, voxel_size=0.35), mcfg)
+        k = mcfg.n_offsets
+        proxy0 = jnp.zeros((mcfg.anchor_capacity * k, 3), jnp.float32)
+
+        def fwd_loss(st, f):
+            total, _ = frame_loss(st.params, proxy0, st.valid, st.step, f,
+                                  bg, mcfg, rcfg, ocfg)
+            return total
+
+        def fwd_grad(st, f):
+            (total, _), (g, pg) = jax.value_and_grad(
+                lambda p, pr: frame_loss(p, pr, st.valid, st.step, f, bg,
+                                         mcfg, rcfg, ocfg),
+                argnums=(0, 1), has_aux=True)(st.params, proxy0)
+            return (total + jnp.sum(pg)
+                    + sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(g)))
+
+        step_nostats = jax.jit(lambda st, f: train_step(
+            st, f, bg=bg, mcfg=mcfg, rcfg=rcfg, ocfg=ocfg,
+            update_stats=False))
+        step_full = jax.jit(lambda st, f: train_step(
+            st, f, bg=bg, mcfg=mcfg, rcfg=rcfg, ocfg=ocfg))
+
+        rows = [("render fwd", full, (params, valid, frame)),
+                ("fwd + loss", jax.jit(fwd_loss), (state, frame)),
+                ("fwd + loss + grad", jax.jit(fwd_grad), (state, frame)),
+                ("full step (no stats)", step_nostats, (state, frame)),
+                ("full step (stats)", step_full, (state, frame))]
+        prev = 0.0
+        for name, fn, fa in rows:
+            t, _ = timeit(fn, *fa, n=10)
+            stage_ms[f"train {name}"] = t
+            print(f"{name:21s}: {t:7.2f} ms  (+{t - prev:6.2f})")
+            prev = t
+
+    if args.prefix or args.train:
+        if args.json:
+            import json as _json
+            with open(args.json, "w") as f:
+                _json.dump(stage_ms, f, indent=1)
+            print(f"stage json -> {args.json}")
+        return
 
     # stages
     pf = jax.jit(lambda p, v, f: prefilter_anchors(p, v, f, rcfg))
