@@ -100,6 +100,36 @@ def test_reader_split_and_gt_layout(tmp_path):
     assert np.isfinite(data.init_points).all()
 
 
+def test_cli_smoke(tmp_path):
+    """Core-tier CLI coverage: a minimal train+eval+save run through the
+    real entry point. The full driver matrix (resume, refine, dump-renders,
+    snapshot reload, warmup, DP parity) lives in the heavy tier below."""
+    from lidargs_tpu.train import cli
+
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    _make_dataset(data_dir)
+    model_dir = str(tmp_path / "out")
+    state = cli.main([
+        "-s", data_dir, "-m", model_dir,
+        "--iterations", "8",
+        "--voxel_size", "8.0",
+        "--anchor_capacity", "2048",
+        "--max_visible", "4096",
+        "--tile_capacity", "64",
+        "--test_iterations", "8",
+        "--save_iterations", "8",
+        "--log_every", "4",
+    ])
+    assert int(state.step) == 8
+    assert os.path.exists(os.path.join(model_dir, "outputs.log"))
+    assert os.path.exists(
+        os.path.join(model_dir, "point_cloud", "iteration_8", "point_cloud.ply")
+    )
+    assert os.path.exists(os.path.join(model_dir, "results.json"))
+
+
+@pytest.mark.heavy  # full CLI driver matrix (85s) — the core tier keeps test_cli_smoke
 def test_cli_end_to_end(tmp_path):
     """Full CLI run on the synthetic dataset: train, densify, eval, save,
     resume, dump renders."""
@@ -167,6 +197,7 @@ def test_cli_end_to_end(tmp_path):
                                atol=1e-5)
 
 
+@pytest.mark.heavy  # two-phase warmup restart e2e (69s)
 def test_cli_warmup_and_eval_only(tmp_path):
     """--warmup two-phase restart (train.py:635-638) + --load_iteration
     eval-only mode with saved PNG renders (render_sets equivalent)."""
@@ -232,6 +263,7 @@ def test_cli_config_merge(tmp_path):
     assert cfg2.opt.iterations == 7
 
 
+@pytest.mark.heavy  # train + refine + eval e2e (248s)
 def test_cli_refined_eval(tmp_path):
     """--raydrop_refiner applies a trained refiner during the eval sweep and
     results.json is persisted (the reference's extre_train_raydrop
@@ -274,6 +306,7 @@ def test_cli_refined_eval(tmp_path):
     assert np.isfinite(res_u["test"]["raydrop_acc"])
 
 
+@pytest.mark.heavy  # LPIPS eval e2e (131s)
 def test_cli_lpips_eval(tmp_path):
     """--lpips_weights adds the VGG-LPIPS metric to the eval sweep
     (train.py:519-529). Random weights (real ones need egress); the metric
@@ -314,6 +347,7 @@ def test_cli_lpips_eval(tmp_path):
     assert np.isfinite(res["test"]["intensity_lpips"])
 
 
+@pytest.mark.heavy  # 8-device DP parity e2e (284s)
 def test_cli_data_parallel_parity(tmp_path):
     """VERDICT r1 item 5: `--data_parallel N` trains from the CLI, and the
     8-device mesh run matches a 1-device run of the same global batch

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lidargs_tpu.config import ModelConfig, OptConfig, RasterConfig
 from lidargs_tpu.models.densify import densify_step
@@ -106,6 +107,7 @@ def test_prune_removes_low_opacity_visited_anchors():
     assert float(new.params["scaling"][:, 3:].max()) <= 0.05 + 1e-6
 
 
+@pytest.mark.heavy  # densify convergence run (51s)
 def test_end_to_end_training_with_densify():
     import jax.numpy as jnp
     from lidargs_tpu.lidar.frames import LidarFrame

@@ -3,6 +3,7 @@ Scaffold-GS decode, 5-term loss, per-group Adam schedules)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lidargs_tpu.config import (
     LrSchedule,
@@ -115,19 +116,23 @@ def test_training_reduces_loss():
     state = init_train_state(field, MCFG)
 
     losses = []
-    for it in range(1, 121):
+    # 70 steps: enough for a robust 20% drop on this fixture (the longer
+    # convergence checks live in the heavy tier)
+    for it in range(1, 71):
         state, m = trainer.step(state, frame, it)
         losses.append(float(m.loss.total))
     assert np.isfinite(losses).all()
     first = np.mean(losses[:10])
     last = np.mean(losses[-10:])
-    assert last < 0.7 * first, (first, last)
-    # densification statistics accumulated
-    assert float(state.anchor_demon.max()) > 100
+    assert last < 0.8 * first, (first, last)
+    # densification statistics accumulated (demon counts visible steps
+    # after start_stat=5 -> 65 of the 70)
+    assert float(state.anchor_demon.max()) > 50
     assert float(state.offset_denom.max()) > 0
     assert float(state.offset_grad_accum.max()) > 0
 
 
+@pytest.mark.heavy  # convergence run (62s)
 def test_render_field_improves_psnr_over_init():
     frame, _ = _synthetic_frame(jax.random.key(5))
     field = _init_field(jax.random.key(6), frame)
@@ -285,6 +290,7 @@ def test_fused_head_decode_matches_separate():
                                rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.heavy  # pressure convergence run (44s)
 def test_overflow_regularizer_engages_under_pressure():
     """OptConfig.overflow_lambda (TPU-specific safety valve): under per-tile
     truncation a positive lambda adds pressure * mean positive opacity to

@@ -35,6 +35,7 @@ def test_knn3_clustered_distribution():
     np.testing.assert_allclose(out, want, rtol=1e-4)
 
 
+@pytest.mark.heavy  # 500k-point scale check (20s)
 def test_knn3_scales_to_init_cloud():
     """The reference init cloud is 500k points (dataset_readers.py:466);
     grid KNN must handle it quickly (brute force would be 2.5e11 pairs)."""

@@ -124,6 +124,7 @@ def test_fused_gather_forward_with_overflow_and_budget():
     np.testing.assert_array_equal(np.asarray(b.depth), np.asarray(a.depth))
 
 
+@pytest.mark.heavy  # fused-gather is default-off (17s); forward coverage stays in core
 def test_fused_gather_gradients_match_materialized():
     """Full-pipeline gradients through the fused path vs the materialized
     kernel path: the windowed dbuf write-back (overlap stomping + slot

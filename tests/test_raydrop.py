@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lidargs_tpu.models.raydrop import (
     apply_raydrop_mlp,
@@ -82,6 +83,7 @@ def test_unet_differentiable():
     assert np.isfinite(gs) and gs > 0
 
 
+@pytest.mark.heavy  # UNet convergence run (35s); core keeps the MLP-refiner variant
 def test_unet_refiner_learns_depth_threshold_rule():
     """The UNet refiner (cli refine --arch unet) on the same synthetic rule
     as the MLP test: drop iff depth > 40. Full-image training must learn it

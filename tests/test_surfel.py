@@ -254,6 +254,7 @@ def test_surfel_bwd_kernel_matches_autodiff_oracle():
     np.testing.assert_allclose(dk, dx, atol=3e-4 * scale, rtol=3e-3)
 
 
+@pytest.mark.heavy  # fused-gather is default-off (58s); core keeps the oracle + xla-parity checks
 def test_surfel_fused_gather_matches_materialized():
     """Surfel fused-gather (windowed-DMA) path vs the materialized pallas
     path: forward bitwise on every output channel, full-pipeline grads

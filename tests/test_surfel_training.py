@@ -55,6 +55,7 @@ def test_surfel_train_step_decreases_loss():
     assert float(jnp.sum(state.offset_grad_accum)) > 0.0
 
 
+@pytest.mark.heavy  # long gated-training run (65s)
 def test_surfel_regularizers_gate_on_schedule():
     field, frame, mcfg, rcfg = _setup()
     state = init_train_state(field, mcfg)

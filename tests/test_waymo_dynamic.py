@@ -182,6 +182,7 @@ def test_too_few_frames_returns_none(tmp_path):
     assert read_dynamic_model(sc, "wall_1") is None
 
 
+@pytest.mark.heavy  # dynamic-scene convergence run (43s)
 def test_dynamic_decomposition_trains_end_to_end(tmp_path):
     """Background + dynamic-vehicle sub-scenes train through the masked
     losses — the workflow the reference's dynamic mode promises but cannot

@@ -108,6 +108,20 @@ VARIANTS = {
                            max_tiles_per_gaussian=8),
     "h8_K1024_cap4_ch512": dict(tile_h=8, tile_capacity=1024,
                                 max_tiles_per_gaussian=4, pallas_chunk=512),
+    # r4 third wave: refine around the first h8/h4 frontier (h8_K768_cap4
+    # 12.00 ms / MAE 1.17e-2; h4_K768_cap8 12.40 ms / MAE 6.18e-3)
+    "h4_K512_cap8":   dict(tile_h=4, tile_capacity=512,
+                           max_tiles_per_gaussian=8),
+    "h4_K512_cap4":   dict(tile_h=4, tile_capacity=512,
+                           max_tiles_per_gaussian=4),
+    "h4_K640_cap8":   dict(tile_h=4, tile_capacity=640,
+                           max_tiles_per_gaussian=8),
+    "h4_K768_cap4":   dict(tile_h=4, tile_capacity=768,
+                           max_tiles_per_gaussian=4),
+    "h8_K768_cap8":   dict(tile_h=8, tile_capacity=768,
+                           max_tiles_per_gaussian=8),
+    "h4_K768_cap8_ch256": dict(tile_h=4, tile_capacity=768,
+                               max_tiles_per_gaussian=8, pallas_chunk=256),
 }
 
 
