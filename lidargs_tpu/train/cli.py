@@ -56,9 +56,15 @@ def build_config(argv=None):
     p.add_argument("--max_visible", type=int, default=2**18)
     p.add_argument("--tile_capacity", type=int, default=384)
     p.add_argument("--tile_h", type=int, default=None,
-                   help="pixel rows per tile (1/2/4; default config). "
-                        "Larger tiles halve the sorted instance count at "
-                        "constant composite work")
+                   help="pixel rows per tile (1/2/4/8; default config). "
+                        "Wider tiles collapse duplicate instance emission "
+                        "(r4 on-chip: h4/K768/cap8 12.4 ms vs h1 16.4 ms "
+                        "at 3x lower truncation error)")
+    p.add_argument("--max_tiles_per_gaussian", type=int, default=None,
+                   help="per-gaussian touched-tile cap (binning sort is "
+                        "V*cap keys; wider tiles need smaller caps)")
+    p.add_argument("--pallas_chunk", type=int, default=None,
+                   help="instances per compositing kernel loop step")
     p.add_argument("--instance_capacity", type=int, default=None,
                    help="rank-search instance emission budget (0 = exact "
                         "dense, -1 = legacy expansion; default config)")
@@ -166,6 +172,8 @@ def build_config(argv=None):
                 # remains an explicit opt-in via --tile_h until a config
                 # passes both the speed and the quality gate (bench.py).
                 ("tile_h", args.tile_h),
+                ("max_tiles_per_gaussian", args.max_tiles_per_gaussian),
+                ("pallas_chunk", args.pallas_chunk),
                 ("instance_capacity", args.instance_capacity),
             ) if v is not None},
             **({"fused_gather": True, "backend": "pallas"}

@@ -122,6 +122,18 @@ VARIANTS = {
                            max_tiles_per_gaussian=8),
     "h4_K768_cap8_ch256": dict(tile_h=4, tile_capacity=768,
                                max_tiles_per_gaussian=8, pallas_chunk=256),
+    # r4 fourth wave: probe the speed end below the h4_K512_cap4 winner
+    # (10.33 ms / MAE 1.68e-2 ~= base quality) and the K 512-768 gap
+    "h4_K384_cap4":   dict(tile_h=4, tile_capacity=384,
+                           max_tiles_per_gaussian=4),
+    "h8_K512_cap4":   dict(tile_h=8, tile_capacity=512,
+                           max_tiles_per_gaussian=4),
+    "h4_K640_cap4":   dict(tile_h=4, tile_capacity=640,
+                           max_tiles_per_gaussian=4),
+    "h8_K640_cap4":   dict(tile_h=8, tile_capacity=640,
+                           max_tiles_per_gaussian=4),
+    "h4_K512_cap2":   dict(tile_h=4, tile_capacity=512,
+                           max_tiles_per_gaussian=2),
 }
 
 
