@@ -136,23 +136,25 @@ def main() -> None:
         )
 
     V = base_rcfg.max_visible
-    # candidate fast paths, measured winners first (r4 on-chip sweep,
-    # tools/bench_render_ab.py, v5e 64x2650: base 16.23 ms MAE 1.73e-2;
-    # h2_cap8_K512 13.03 ms MAE 9.97e-3; h4_K768_ch384 13.22 ms MAE
-    # 7.04e-3; h2_K512 13.59 ms MAE 1.36e-2). Wider tiles collapse
-    # duplicate instance emission (one instance where h1 emits up to
-    # tile_h), so they beat base on speed AND truncation error; smaller
-    # per-gaussian tile caps then shrink the binning sort (V*cap keys).
-    # h8 = eight native (8,128) VPU tiles per op, the widest the kernel
-    # supports — fielded from the same sweep's second wave.
+    # candidate fast paths, measured winners first (r4 on-chip sweeps,
+    # tools/bench_render_ab.py, v5e 64x2650, base 16.39 ms MAE 1.73e-2).
+    # Wider tiles collapse duplicate instance emission (one instance where
+    # h1 emits up to tile_h), so they beat base on speed AND truncation
+    # error; smaller per-gaussian tile caps then shrink the binning sort
+    # (V*cap keys). Measured gated frontier: h4_K512_cap4 10.33 ms at
+    # base-equivalent MAE 1.68e-2 (the expected winner), then quality-
+    # increasing fallbacks h4_K640_cap4 11.15/1.03e-2, h4_K768_cap8
+    # 12.40/6.18e-3, h8_K1024_cap4 13.48/5.40e-3. Sub-10 ms configs
+    # (h4_K384_cap4 9.10, h4_K512_cap2 9.98) fail the quality gate.
     variants = [
-        ("h8_K1024_cap8", dict(tile_h=8, tile_capacity=1024,
-                               max_tiles_per_gaussian=8)),
-        ("h2_cap8_K512", dict(tile_h=2, tile_capacity=512,
+        ("h4_K512_cap4", dict(tile_h=4, tile_capacity=512,
+                              max_tiles_per_gaussian=4)),
+        ("h4_K640_cap4", dict(tile_h=4, tile_capacity=640,
+                              max_tiles_per_gaussian=4)),
+        ("h4_K768_cap8", dict(tile_h=4, tile_capacity=768,
                               max_tiles_per_gaussian=8)),
-        ("h4_K768_ch384", dict(tile_h=4, tile_capacity=768,
-                               pallas_chunk=384)),
-        ("h2_K512", dict(tile_h=2, tile_capacity=512)),
+        ("h8_K1024_cap4", dict(tile_h=8, tile_capacity=1024,
+                               max_tiles_per_gaussian=4)),
     ]
 
     # exact dense render = correctness anchor + timing baseline

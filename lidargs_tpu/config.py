@@ -28,6 +28,16 @@ class RasterConfig:
     """
 
     channels: int = 2                       # intensity + raydrop
+    # tile_h: pixel rows per physical tile (1/2/4/8; the kernel ops span
+    # tile_h * 128 lanes). MEASURED on v5e (tools/bench_render_ab.py, r4,
+    # 64x2650 bench): wider tiles collapse duplicate instance emission —
+    # one instance where h1 emits up to tile_h — so they win on BOTH speed
+    # and truncation error vs a 2x-capacity golden. Gated frontier:
+    # h4/K512/cap4 10.33 ms MAE 1.68e-2 (base 16.39 ms MAE 1.73e-2),
+    # h4/K640/cap4 11.15/1.03e-2, h4/K768/cap8 12.40/6.18e-3,
+    # h8/K1024/cap4 13.48/5.40e-3. The conservative reference-shaped h1
+    # stays the dataclass default; bench.py autotunes, and the CLI maps
+    # --tile_h/--tile_capacity/--max_tiles_per_gaussian onto these knobs.
     tile_h: int = 1                         # pixel rows per physical tile
     tile_w: int = 128                       # pixel cols per physical tile (lane dim)
     ref_block_x: int = 16                   # reference's virtual tiling, used for

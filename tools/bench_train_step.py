@@ -64,13 +64,17 @@ def main():
     from lidargs_tpu.config import replace as _replace
 
     rcfg_fused = _replace(rcfg, fused_gather=True)
-    rcfg_h2 = _replace(rcfg, tile_h=2)              # opt-in (failed r3 quality gate)
-    rcfg_h2k768 = _replace(rcfg, tile_h=2, tile_capacity=768)
+    # r4 render-sweep frontier (tools/bench_render_ab.py on v5e): the
+    # fastest base-quality config and the balanced 3x-lower-error config
+    rcfg_h4f = _replace(rcfg, tile_h=4, tile_capacity=512,
+                        max_tiles_per_gaussian=4)
+    rcfg_h4q = _replace(rcfg, tile_h=4, tile_capacity=768,
+                        max_tiles_per_gaussian=8)
     for variant, vr in (("beam", rcfg), ("surfel", rcfg),
                         ("beam+fused", rcfg_fused),
                         ("surfel+fused", rcfg_fused),
-                        ("beam h2/K384", rcfg_h2),
-                        ("beam h2/K768", rcfg_h2k768)):
+                        ("beam h4/K512/cap4", rcfg_h4f),
+                        ("beam h4/K768/cap8", rcfg_h4q)):
         base_variant = "surfel" if variant.startswith("surfel") else "beam"
         # re-materialize from host copies: donate_argnums consumes the
         # previous variant's device buffers (incl. valid inside the state)
