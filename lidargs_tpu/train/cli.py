@@ -54,7 +54,9 @@ def build_config(argv=None):
     p.add_argument("--voxel_size", type=float, default=0.0)
     p.add_argument("--anchor_capacity", type=int, default=2**17)
     p.add_argument("--max_visible", type=int, default=2**18)
-    p.add_argument("--tile_capacity", type=int, default=384)
+    p.add_argument("--tile_capacity", type=int, default=None,
+                   help="depth-sorted instances composited per tile "
+                        "(default: 768 beam / 384 surfel)")
     p.add_argument("--tile_h", type=int, default=None,
                    help="pixel rows per tile (1/2/4/8; default config). "
                         "Wider tiles collapse duplicate instance emission "
@@ -162,17 +164,28 @@ def build_config(argv=None):
                     raydrop_lambda=rd_lambda, depth_min=depth_min),
         raster=replace(
             RasterConfig(), max_visible=args.max_visible,
-            tile_capacity=args.tile_capacity,
             **{k: v for k, v in (
-                # beam tile_h default stays 1: the r3 on-chip A/B measured
-                # tile_h=2/K384 at 11.8 ms vs 16.0 ms, but BENCH_r03's
-                # quality gate REJECTED that config (MAE-to-golden 2.62e-2
-                # vs base 1.73e-2 — two beam rows share one K budget) and
-                # K768 passed the gate but was slower (17.84 ms). tile_h=2
-                # remains an explicit opt-in via --tile_h until a config
-                # passes both the speed and the quality gate (bench.py).
-                ("tile_h", args.tile_h),
-                ("max_tiles_per_gaussian", args.max_tiles_per_gaussian),
+                # Beam training default = h4/K768/cap8, the winner of the
+                # r4 on-chip 500-iter street training A/B
+                # (tools/bench_train_ab.py, /tmp committed to DESIGN §12):
+                # loss 4.22 vs base 4.91, PSNR 17.70 vs 17.37, raydrop acc
+                # 0.983 vs 0.960, depth MAE 4.01 vs 4.70, at 109 vs 209
+                # ms/step — wider tiles collapse duplicate instance
+                # emission so the same K budget truncates 3x less.
+                # bench.py's render-FPS autotune may pick the faster
+                # h4/K512/cap4 (10.33 ms fwd) for the eval headline; both
+                # pass its quality gate — the TRAINING default prefers the
+                # config that measured better end-of-training quality at
+                # equal training speed. The surfel kernel keeps the 1x128
+                # layout (its pallas path requires tile_h=1).
+                ("tile_h", args.tile_h if args.tile_h is not None
+                 else (1 if args.surfel else 4)),
+                ("tile_capacity", args.tile_capacity
+                 if args.tile_capacity is not None
+                 else (384 if args.surfel else 768)),
+                ("max_tiles_per_gaussian", args.max_tiles_per_gaussian
+                 if args.max_tiles_per_gaussian is not None
+                 else (None if args.surfel else 8)),
                 ("pallas_chunk", args.pallas_chunk),
                 ("instance_capacity", args.instance_capacity),
             ) if v is not None},

@@ -45,6 +45,7 @@ def main():
     ap.add_argument("--tile_h", type=int, default=1)
     ap.add_argument("--tile_capacity", type=int, default=0,
                     help="0 = 384 * tile_h")
+    ap.add_argument("--max_tiles_per_gaussian", type=int, default=16)
     ap.add_argument("--fused", action="store_true")
     ap.add_argument("--instance_capacity", type=int, default=0)
     ap.add_argument("--anchors", type=int, default=60_000)
@@ -85,7 +86,8 @@ def main():
     timeit = lambda fn, *a, n=args.n, warmup=3: _timeit(fn, *a, n=n, warmup=warmup)
     mcfg = ModelConfig(anchor_capacity=args.anchor_capacity)
     rcfg = RasterConfig(
-        max_visible=2 ** 17, max_tiles_per_gaussian=16,
+        max_visible=2 ** 17,
+        max_tiles_per_gaussian=args.max_tiles_per_gaussian,
         tile_capacity=args.tile_capacity or 384 * args.tile_h,
         chunk=16, tile_h=args.tile_h, fused_gather=args.fused,
         instance_capacity=args.instance_capacity,
