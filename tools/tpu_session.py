@@ -61,8 +61,11 @@ cli.main([
     "-s", root, "-m", os.path.join({outdir!r}, "street_run_tpu"),
     "--iterations", "10000", "--voxel_size", "0.35",
     "--anchor_capacity", "131072", "--max_visible", "262144",
-    "--tile_capacity", "512", "--depth_min", "1",
-    "--test_iterations", "4000", "8000", "10000",
+    "--depth_min", "1",
+    # raster knobs: the shipped beam defaults (r4: h4/K768/cap8) — this
+    # run validates the late-training clamp at full capacity on exactly
+    # the config users get
+    "--test_iterations", "2000", "4000", "6000", "8000", "10000",
     "--save_iterations", "10000", "--log_every", "500",
 ])
 """
