@@ -61,6 +61,11 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="decompose the full train step: fwd+loss, +grad, "
                          "+adam, +stats")
+    ap.add_argument("--grad-prefix", action="store_true",
+                    help="cumulative-prefix timing of value_and_grad of "
+                         "each pipeline prefix: deltas = fwd+bwd cost per "
+                         "stage (subtract the --prefix fwd deltas for the "
+                         "backward-only split)")
     args = ap.parse_args()
     stage_ms = {}
 
@@ -118,7 +123,7 @@ def main():
     print(f"FULL frame          : {t_full:7.2f} ms  ({1e3/t_full:5.1f} FPS)  "
           f"overflow={int(out.n_overflow)}")
 
-    if args.prefix:
+    if args.prefix or args.grad_prefix:
         # cumulative prefixes of the exact render_field/render_tiled
         # pipeline — every prefix is ONE fused jit ending in a tiny
         # reduction (keeps all outputs live, adds negligible cost), so
@@ -179,18 +184,59 @@ def main():
             inst = jnp.take(pkv, ids.reshape(-1), axis=0, mode="clip")
             return jnp.sum(inst) + jnp.sum(counts) + ovf
 
-        prev = 0.0
-        for name, fn in (
+        stages = (
             ("prefilter", upto_prefilter), ("decode", upto_decode),
             ("project+pack", upto_project), ("cull sort", upto_cull),
             ("bin sort", upto_bin), ("gather", upto_gather),
-        ):
-            t, _ = timeit(jax.jit(fn), params, valid, frame)
-            stage_ms[f"prefix {name}"] = t
-            print(f"upto {name:15s}: {t:7.2f} ms  (+{t - prev:6.2f})")
-            prev = t
-        print(f"upto composite (full): {t_full:7.2f} ms  "
-              f"(+{t_full - prev:6.2f})")
+        )
+        if args.prefix:
+            prev = 0.0
+            for name, fn in stages:
+                t, _ = timeit(jax.jit(fn), params, valid, frame)
+                stage_ms[f"prefix {name}"] = t
+                print(f"upto {name:15s}: {t:7.2f} ms  (+{t - prev:6.2f})")
+                prev = t
+            print(f"upto composite (full): {t_full:7.2f} ms  "
+                  f"(+{t_full - prev:6.2f})")
+
+        if args.grad_prefix:
+            # fwd+bwd of each prefix: the delta between consecutive rows is
+            # that stage's forward AND backward cost together (backward of
+            # a gather = scatter-add, of a sort-selection = inverse gather,
+            # of the composite = the bwd pallas kernel). Scalar-safe float
+            # heads only (prefilter/bin counts are int -> no grad surface).
+            def g_decode(p, v, f):
+                return upto_decode(p, v, f)
+
+            def g_project(p, v, f):
+                return jnp.sum(_pk(p, v, f))
+
+            def g_cull(p, v, f):
+                return jnp.sum(_pkv(p, v, f))
+
+            def g_gather(p, v, f):
+                pkv = _pkv(p, v, f)
+                ids, counts, ovf = bin_instances(
+                    pkv[:, PackedCols.rect(C2)].astype(jnp.int32),
+                    pkv[:, PackedCols.center(C2)],
+                    pkv[:, PackedCols.validf(C2)] > 0.0, rcfg, gx, gy)
+                inst = jnp.take(pkv, ids.reshape(-1), axis=0, mode="clip")
+                return jnp.sum(inst)
+
+            def g_full(p, v, f):
+                out = render_field(p, v, f, mcfg, rcfg, bg)[0]
+                return (jnp.sum(out.color) + jnp.sum(out.depth)
+                        + jnp.sum(out.occ))
+
+            prev = 0.0
+            for name, fn in (("decode", g_decode), ("project+pack", g_project),
+                             ("cull", g_cull), ("gather", g_gather),
+                             ("composite (full)", g_full)):
+                g = jax.jit(jax.grad(fn))
+                t, _ = timeit(g, params, valid, frame)
+                stage_ms[f"grad-prefix {name}"] = t
+                print(f"grad upto {name:17s}: {t:7.2f} ms  (+{t - prev:6.2f})")
+                prev = t
 
     if args.train:
         # train-step decomposition (VERDICT r3 #9): the same cumulative-
@@ -238,7 +284,7 @@ def main():
             print(f"{name:21s}: {t:7.2f} ms  (+{t - prev:6.2f})")
             prev = t
 
-    if args.prefix or args.train:
+    if args.prefix or args.train or args.grad_prefix:
         if args.json:
             import json as _json
             with open(args.json, "w") as f:
