@@ -116,15 +116,24 @@ def main():
 
     records = []
     base = None
+    cpus = os.cpu_count() or 1
     for n in args.hosts:
         rec = launch_fleet(n, args, f"/tmp/scaling_fleet_{n}.json")
         if base is None:
             base = rec["rays_per_s"] / rec["hosts"]
         rec["efficiency"] = rec["rays_per_s"] / (base * n)
+        rec["host_cpus"] = cpus
+        # the localhost fleet is a MECHANICS check (coordination, mesh,
+        # sharding, collectives); its efficiency number only measures
+        # scaling when each process gets its own core(s)
+        rec["efficiency_meaningful"] = cpus >= n * args.local_devices
         records.append(rec)
+        tag = "" if rec["efficiency_meaningful"] else (
+            f"  [NOT a scaling measurement: {n * args.local_devices} virtual"
+            f" devices time-share {cpus} physical core(s)]")
         print(f"hosts={n} devices={rec['devices']} "
               f"{rec['rays_per_s']/1e6:.2f} Mrays/s "
-              f"eff={rec['efficiency']:.2%}")
+              f"eff={rec['efficiency']:.2%}{tag}")
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(records, f, indent=1)
