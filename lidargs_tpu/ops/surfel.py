@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from ..config import RasterConfig
 from .composite import pixel_rays
 from .projection import _project_rows, quat_to_rotmat
-from .rasterize import bin_instances, _tile_pixels
+from .rasterize import bin_instances, permutation_rows, _tile_pixels
 
 
 class SurfelCols:
@@ -366,7 +366,9 @@ def render_surfels(
     _, sel = jax.lax.sort(
         (depth, jnp.arange(P, dtype=jnp.int32)), num_keys=1, is_stable=True
     )
-    pkv = jnp.take(pk, sel[:V], axis=0, mode="clip")
+    # gather-based VJP: the scatter-add transpose of this row-take was the
+    # largest non-kernel backward term (see rasterize.permutation_rows)
+    pkv = permutation_rows(pk, sel, V)
     vvalid = pkv[:, S.validf(C)] > 0.0
     n_dropped = jnp.sum(valid_all) - jnp.sum(vvalid)
 

@@ -224,3 +224,31 @@ def test_render_tiled_budget_matches_dense_at_scale():
     t = jax.jit(lambda s: render_tiled(s, sc.beams, sc.W, bg, cfg_tight))(splats)
     assert int(t.n_overflow) > int(d.n_overflow)
     assert bool(jnp.isfinite(t.color).all())
+
+
+def test_permutation_rows_vjp_matches_take():
+    """The gather-based VJP of the cull row-take must equal XLA's
+    scatter-add transpose exactly (sel is a permutation, so the transpose
+    IS a permutation-gather), including V < P truncation."""
+    import jax
+
+    from lidargs_tpu.ops.rasterize import permutation_rows
+
+    key = jax.random.key(11)
+    P, F, V = 97, 5, 60
+    pk = jax.random.normal(key, (P, F))
+    sel = jax.random.permutation(jax.random.key(12), P).astype(jnp.int32)
+    ct = jax.random.normal(jax.random.key(13), (V, F))
+
+    def via_take(pk):
+        return jnp.sum(jnp.take(pk, sel[:V], axis=0, mode="clip") * ct)
+
+    def via_perm(pk):
+        return jnp.sum(permutation_rows(pk, sel, V) * ct)
+
+    f1 = jax.jit(via_take)(pk)
+    f2 = jax.jit(via_perm)(pk)
+    np.testing.assert_array_equal(np.asarray(f2), np.asarray(f1))
+    g1 = jax.jit(jax.grad(via_take))(pk)
+    g2 = jax.jit(jax.grad(via_perm))(pk)
+    np.testing.assert_array_equal(np.asarray(g2), np.asarray(g1))

@@ -157,12 +157,14 @@ def main():
             return jnp.sum(_pk(p, v, f), axis=0)        # all cols live
 
         def _pkv(p, v, f):
+            from lidargs_tpu.ops.rasterize import permutation_rows
+
             pk = _pk(p, v, f)
             _, sel = jax.lax.sort(
                 (pk[:, PackedCols.DEPTH],
                  jnp.arange(pk.shape[0], dtype=jnp.int32)),
                 num_keys=1, is_stable=True)
-            return jnp.take(pk, sel[:V], axis=0, mode="clip")
+            return permutation_rows(pk, sel, V)   # production cull path
 
         def upto_cull(p, v, f):
             return jnp.sum(_pkv(p, v, f), axis=0)
