@@ -146,15 +146,22 @@ def main() -> None:
     # increasing fallbacks h4_K640_cap4 11.15/1.03e-2, h4_K768_cap8
     # 12.40/6.18e-3, h8_K1024_cap4 13.48/5.40e-3. Sub-10 ms configs
     # (h4_K384_cap4 9.10, h4_K512_cap2 9.98) fail the quality gate.
+    # wave-5 addition: wide tiles fill their per-tile budgets from the
+    # nearest gaussians, so the far tail of the cull never survives the
+    # per-tile cut — max_visible drops ride along free or nearly so
+    # (V64k 9.29 ms MAE 1.77e-2, V96k 9.72 ms MAE 1.68e-2 == V131k's).
     variants = [
-        ("h4_K512_cap4", dict(tile_h=4, tile_capacity=512,
-                              max_tiles_per_gaussian=4)),
-        ("h4_K640_cap4", dict(tile_h=4, tile_capacity=640,
-                              max_tiles_per_gaussian=4)),
+        ("h4_K512_cap4_V64k", dict(tile_h=4, tile_capacity=512,
+                                   max_tiles_per_gaussian=4,
+                                   max_visible=65536)),
+        ("h4_K512_cap4_V96k", dict(tile_h=4, tile_capacity=512,
+                                   max_tiles_per_gaussian=4,
+                                   max_visible=98304)),
+        ("h4_K640_cap4_V96k", dict(tile_h=4, tile_capacity=640,
+                                   max_tiles_per_gaussian=4,
+                                   max_visible=98304)),
         ("h4_K768_cap8", dict(tile_h=4, tile_capacity=768,
                               max_tiles_per_gaussian=8)),
-        ("h8_K1024_cap4", dict(tile_h=8, tile_capacity=1024,
-                               max_tiles_per_gaussian=4)),
     ]
 
     # exact dense render = correctness anchor + timing baseline

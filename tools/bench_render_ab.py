@@ -134,6 +134,18 @@ VARIANTS = {
                            max_tiles_per_gaussian=4),
     "h4_K512_cap2":   dict(tile_h=4, tile_capacity=512,
                            max_tiles_per_gaussian=2),
+    # r4 fifth wave: max_visible reduction on top of the wide-tile winners
+    # (wide tiles saturate their per-tile budgets from the nearest
+    # gaussians, so the far tail of the 131k-row cull may never survive
+    # the per-tile cut — if so, a smaller V shrinks cull+bin+gather free)
+    "h4_K512_cap4_V96k": dict(tile_h=4, tile_capacity=512,
+                              max_tiles_per_gaussian=4, max_visible=98304),
+    "h4_K512_cap4_V64k": dict(tile_h=4, tile_capacity=512,
+                              max_tiles_per_gaussian=4, max_visible=65536),
+    "h4_K640_cap4_V96k": dict(tile_h=4, tile_capacity=640,
+                              max_tiles_per_gaussian=4, max_visible=98304),
+    "h4_K768_cap8_V96k": dict(tile_h=4, tile_capacity=768,
+                              max_tiles_per_gaussian=8, max_visible=98304),
 }
 
 
