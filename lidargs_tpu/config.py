@@ -55,6 +55,16 @@ class RasterConfig:
     alpha_clamp: float = 0.99
     lowpass: float = 0.01                   # added to cov2d diagonal pre 1/d^2
     # --- static capacities (TPU) ---
+    # compact-then-decode (render/eval path only): gather the prefiltered
+    # anchors to this static capacity BEFORE the MLP decode, so the decode
+    # + projection + cull run on the ~visible subset instead of the full
+    # anchor capacity. 0 = off (every anchor decodes, the training path).
+    # Anchors beyond the cap are dropped farthest-last-in-sort and counted
+    # into n_dropped (never silent). The gather's VJP is the cheap
+    # permutation-gather (rasterize.permutation_rows), but the training
+    # step keeps this off: densification statistics are indexed by the
+    # full anchor table.
+    visible_anchor_cap: int = 0
     max_visible: int = 2 ** 18              # gaussians after cull-compaction
     max_tiles_per_gaussian: int = 32        # per-gaussian tile rect cap
     tile_capacity: int = 512                # sorted instances composited / tile

@@ -292,8 +292,45 @@ def render_field(
 
     `sphere_proxy` is a zeros [C*k, 3] tensor added to the unit-sphere means;
     its gradient is the densification signal (the reference reads
-    viewspace_points.grad[:, 2:], gaussian_model.py:617-619)."""
+    viewspace_points.grad[:, 2:], gaussian_model.py:617-619).
+
+    With `rcfg.visible_anchor_cap > 0` (render/eval path), the prefiltered
+    anchors are compacted to that static capacity before the decode — the
+    decode/projection/cull then run on the ~visible subset, the closest
+    TPU analogue of the reference decoding only `anchor[visible_mask]`
+    (gaussian_renderer/__init__.py:25-34; dynamic shapes there, a static
+    capacity + permutation gather here). Anchors beyond the cap are
+    counted into n_dropped. Incompatible with the densification proxy
+    (stats index the full anchor table)."""
     anchor_visible = prefilter_anchors(params, valid, frame, rcfg)
+    Ca = rcfg.visible_anchor_cap
+    n_anchor_drop = None
+    if Ca and Ca > 0:
+        if sphere_proxy is not None:
+            raise ValueError(
+                "visible_anchor_cap is a render/eval-path optimization; the "
+                "training step's densification proxy needs the full table"
+            )
+        import jax as _jax
+
+        from ..ops.rasterize import permutation_rows
+
+        C = params["anchor"].shape[0]
+        Ca = min(Ca, C)
+        vis = valid & anchor_visible
+        # stable sort by (!visible): visible anchors first, order preserved
+        _, order = _jax.lax.sort(
+            ((~vis).astype(jnp.int32), jnp.arange(C, dtype=jnp.int32)),
+            num_keys=1, is_stable=True,
+        )
+        n_vis = jnp.sum(vis)
+        n_anchor_drop = jnp.maximum(n_vis - Ca, 0)
+        sub = dict(params)
+        for name in ("anchor", "offset", "feat", "scaling", "rotation",
+                     "opacity"):
+            sub[name] = permutation_rows(params[name], order, Ca)
+        sub_on = jnp.arange(Ca) < jnp.minimum(n_vis, Ca)
+        params, valid, anchor_visible = sub, sub_on, sub_on
     ng = generate_neural_gaussians(
         params, valid, anchor_visible, frame.center, mcfg, cam_uid=frame.uid
     )
@@ -304,6 +341,9 @@ def render_field(
     if sphere_proxy is not None:
         splats = splats._replace(sphere_mean=splats.sphere_mean + sphere_proxy)
     out = render_tiled(splats, frame.beams, frame.W, bg, rcfg, tile_spec=tile_spec)
+    if n_anchor_drop is not None:
+        out = out._replace(n_dropped=out.n_dropped
+                           + n_anchor_drop * mcfg.n_offsets)
     return out, ng, anchor_visible
 
 

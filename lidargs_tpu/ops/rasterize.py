@@ -61,7 +61,8 @@ def _perm_rows_bwd(V, res, d_pkv):
     iota = jnp.arange(P, dtype=jnp.int32)
     _, inv = jax.lax.sort((sel, iota), num_keys=1, is_stable=False)
     d_rows = jnp.take(d_pkv, jnp.minimum(inv, V - 1), axis=0, mode="clip")
-    d_pk = jnp.where((inv < V)[:, None], d_rows, 0.0)
+    keep = (inv < V).reshape((-1,) + (1,) * (d_rows.ndim - 1))
+    d_pk = jnp.where(keep, d_rows, 0.0)
     return (d_pk, np.zeros(sel.shape, dtype=jax.dtypes.float0))
 
 

@@ -317,3 +317,45 @@ def test_overflow_regularizer_engages_under_pressure():
     # the penalty is part of the total and pushes opacities down
     assert float(results[0.5].loss.total) > float(results[0.0].loss.total)
     assert int(results[0.5].n_visible) < int(results[0.0].n_visible)
+
+
+def test_compact_then_decode_matches_full():
+    """visible_anchor_cap (render-path compaction): decoding only the
+    prefiltered anchors must reproduce the full-table render — the dropped
+    rows were invisible, so their gaussians were masked anyway — and a
+    too-small cap must count the dropped anchors' gaussians, never fail
+    silently."""
+    from lidargs_tpu.config import replace as _replace
+    from lidargs_tpu.models.field import render_field
+
+    frame, _ = _synthetic_frame(jax.random.key(21))
+    field = _init_field(jax.random.key(22), frame)
+    bg = jnp.zeros((2,), jnp.float32)
+    n_vis_max = int(field.valid.sum())
+
+    full = jax.jit(lambda p, v: render_field(p, v, frame, MCFG, RCFG, bg)[0])(
+        field.params, field.valid)
+    ample = _replace(RCFG, visible_anchor_cap=MCFG.anchor_capacity)
+    comp = jax.jit(lambda p, v: render_field(p, v, frame, MCFG, ample, bg)[0])(
+        field.params, field.valid)
+    np.testing.assert_allclose(np.asarray(comp.color), np.asarray(full.color),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(comp.depth), np.asarray(full.depth),
+                               atol=1e-5)
+    assert int(comp.n_dropped) == int(full.n_dropped)
+
+    tiny = _replace(RCFG, visible_anchor_cap=8)
+    out = jax.jit(lambda p, v: render_field(p, v, frame, MCFG, tiny, bg)[0])(
+        field.params, field.valid)
+    assert int(out.n_dropped) > 0
+    assert bool(jnp.isfinite(out.color).all())
+
+    # gradients flow through the compaction gather (eval-style loss)
+    def loss(p):
+        o = render_field(p, field.valid, frame, MCFG, ample, bg)[0]
+        return jnp.mean((o.color - frame.gt_image[:2]) ** 2)
+
+    g = jax.jit(jax.grad(loss))(field.params)
+    gs = sum(float(jnp.abs(v).sum()) for v in jax.tree.leaves(g))
+    assert np.isfinite(gs) and gs > 0
+    assert n_vis_max > 8
