@@ -64,6 +64,11 @@ class RasterConfig:
     # permutation-gather (rasterize.permutation_rows), but the training
     # step keeps this off: densification statistics are indexed by the
     # full anchor table.
+    # MEASURED at the bench scene (v5e, r4): a LOSS — +0.7 ms and MAE
+    # 3.2e-2 at cap 40960, because the synthetic visible-shell scene keeps
+    # >40k of 60k anchors prefilter-visible (cap drops real anchors, and a
+    # bigger cap saves too little). Stays an opt-in for real street scenes
+    # where the visible fraction is ~50% or less (street fixture: ~46%).
     visible_anchor_cap: int = 0
     max_visible: int = 2 ** 18              # gaussians after cull-compaction
     max_tiles_per_gaussian: int = 32        # per-gaussian tile rect cap

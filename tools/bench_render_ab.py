@@ -146,9 +146,10 @@ VARIANTS = {
                               max_tiles_per_gaussian=4, max_visible=98304),
     "h4_K768_cap8_V96k": dict(tile_h=4, tile_capacity=768,
                               max_tiles_per_gaussian=8, max_visible=98304),
-    # r4 sixth wave: compact-then-decode (decode only the ~36.5k
-    # prefiltered anchors of the 65k table via a static-cap permutation
-    # gather) on top of the wave-5 winners
+    # r4 sixth wave: compact-then-decode. MEASURED: LOSES at this scene
+    # (CA40k: +0.7 ms, MAE 3.2e-2 — the visible shell keeps >40k anchors
+    # prefilter-visible so the cap drops real anchors); kept for re-testing
+    # on real street-like scenes (~46% visible fraction)
     "h4_K512_cap4_V64k_CA40k": dict(tile_h=4, tile_capacity=512,
                                     max_tiles_per_gaussian=4,
                                     max_visible=65536,
