@@ -1,7 +1,7 @@
 """Pallas TPU forward kernel for the surfel (2DGS) variant.
 
 Same tile/lane layout as the beam-splatting kernel (pallas_composite.py):
-1x128 tiles, instance chunks on sublanes, prefix-product transmittance with
+tile_h x 128 tiles (NPIX = tile_h*128 lanes per op), instance chunks on sublanes, prefix-product transmittance with
 per-tile dynamic trip counts and transmittance early exit. Implements the
 exact per-pixel semantics of the surfel renderCUDA walk (surfel
 forward.cu:415-543): ray-plane intersection depth, rho2d low-pass fallback,
@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RasterConfig
-from .pallas_composite import LANES, _chunk_weights, _cumsum
+from .pallas_composite import _chunk_weights, _cumsum
 from .surfel import SurfelCols as S
 
 OUT_ROWS = 16  # C color, depth, final_T, normal(3), median, distortion
@@ -66,7 +66,7 @@ def _surfel_alpha(s, pix, count, base_row, ch, C, cfg: RasterConfig):
     tw_sq = twx * twx + twy * twy + twz * twz
     rho_r = jnp.sqrt(jnp.maximum(tw_sq, 1e-20))
     lam = twx * nx + twy * ny + twz * nz                       # [CH, 1]
-    cos2 = nx * dirx + ny * diry + nz * dirz                   # [CH, LANES]
+    cos2 = nx * dirx + ny * diry + nz * dirz                   # [CH, NPIX]
     hit = cos2 != 0.0
     cos2s = jnp.where(hit, cos2, 1.0)
     lam2 = lam / cos2s
@@ -93,7 +93,7 @@ def _surfel_alpha(s, pix, count, base_row, ch, C, cfg: RasterConfig):
     e = jnp.exp(-0.5 * rho)
     araw = op * e
     alpha = jnp.minimum(cfg.alpha_clamp, araw)
-    rowi = jax.lax.broadcasted_iota(jnp.int32, (ch, LANES), 0) + base_row
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (ch, dirx.shape[-1]), 0) + base_row
     passed = (
         (rowi < count)
         & (validf > 0.0)
@@ -119,6 +119,7 @@ def _surfel_alpha(s, pix, count, base_row, ch, C, cfg: RasterConfig):
 def _fwd_tile(read, count, pixb, out_ref, *, C, CH, cfg):
     """Shared forward tile walk; `read(i)` yields the i-th [CH, F] chunk."""
     pix = (pixb[0:1], pixb[1:2], pixb[2:3], pixb[3:4], pixb[4:5])
+    NP = pixb.shape[-1]
     nch = pl.cdiv(count, CH)
 
     def cond(st):
@@ -146,7 +147,7 @@ def _fwd_tile(read, count, pixb, out_ref, *, C, CH, cfg):
         # A = 1 - T-before-this-instance = 1 - P
         wm = w * m
         wm2 = wm * m
-        z1 = jnp.zeros((1, LANES), jnp.float32)
+        z1 = jnp.zeros((1, NP), jnp.float32)
         m1_pre = m1 + jnp.concatenate([z1, _cumsum(wm, CH)[: CH - 1]], 0)
         m2_pre = m2 + jnp.concatenate([z1, _cumsum(wm2, CH)[: CH - 1]], 0)
         A = 1.0 - P
@@ -166,9 +167,9 @@ def _fwd_tile(read, count, pixb, out_ref, *, C, CH, cfg):
         )
         return (i + 1, T_new, done_new, cacc, dacc, nacc, m1, m2, dist, med)
 
-    z = lambda r: jnp.zeros((r, LANES), jnp.float32)
+    z = lambda r: jnp.zeros((r, NP), jnp.float32)
     init = (
-        jnp.zeros((), jnp.int32), jnp.ones((1, LANES), jnp.float32), z(1),
+        jnp.zeros((), jnp.int32), jnp.ones((1, NP), jnp.float32), z(1),
         z(C), z(1), z(3), z(1), z(1), z(1), z(1),
     )
     (_, T, _d, cacc, dacc, nacc, m1, m2, dist, med) = jax.lax.while_loop(
@@ -178,7 +179,7 @@ def _fwd_tile(read, count, pixb, out_ref, *, C, CH, cfg):
     # "pairs behind k" distortion sums into prefix arithmetic against them
     out_ref[0] = jnp.concatenate(
         [cacc, dacc, T, nacc, med, dist, m1, m2,
-         jnp.zeros((OUT_ROWS - C - 9, LANES), jnp.float32)], 0
+         jnp.zeros((OUT_ROWS - C - 9, NP), jnp.float32)], 0
     )
 
 
@@ -236,6 +237,7 @@ def _bwd_tile(read, write, count, pixb, res, g, *, C, CH, F, cfg):
     routes to that instance's depth, matched here by depth == saved median.
     """
     pix = (pixb[0:1], pixb[1:2], pixb[2:3], pixb[3:4], pixb[4:5])
+    NP = pixb.shape[-1]
     totc = res[0:C]
     totd = res[C : C + 1]
     Tfin = res[C + 1 : C + 2]
@@ -269,7 +271,7 @@ def _bwd_tile(read, write, count, pixb, res, g, *, C, CH, F, cfg):
         w, applied, P, T_new, done_new = _chunk_weights(
             alpha, passed, T, done, cfg, CH
         )
-        Z = jnp.zeros((CH, LANES), jnp.float32)
+        Z = jnp.zeros((CH, NP), jnp.float32)
 
         wc = [w * feat[c] for c in range(C)]
         wd = w * depth
@@ -279,7 +281,7 @@ def _bwd_tile(read, write, count, pixb, res, g, *, C, CH, F, cfg):
 
         incl = lambda x: _cumsum(x, CH)
         excl = lambda x: jnp.concatenate(
-            [jnp.zeros((1, LANES), jnp.float32), _cumsum(x, CH)[: CH - 1]], 0
+            [jnp.zeros((1, NP), jnp.float32), _cumsum(x, CH)[: CH - 1]], 0
         )
         m1pre = Am1 + excl(wm)
         m2pre = Am2 + excl(wm2)
@@ -410,9 +412,9 @@ def _bwd_tile(read, write, count, pixb, res, g, *, C, CH, F, cfg):
         AQ = AQ + jnp.sum(q, 0, keepdims=True)
         return (i + 1, T_new, done_new, Ac, Ad, An, Am1, Am2, AD, AQ)
 
-    z = lambda r: jnp.zeros((r, LANES), jnp.float32)
+    z = lambda r: jnp.zeros((r, NP), jnp.float32)
     init = (
-        jnp.zeros((), jnp.int32), jnp.ones((1, LANES), jnp.float32), z(1),
+        jnp.zeros((), jnp.int32), jnp.ones((1, NP), jnp.float32), z(1),
         z(C), z(1), z(3), z(1), z(1), z(1), z(1),
     )
     jax.lax.while_loop(cond, body, init)
@@ -470,6 +472,7 @@ def _bwd_kernel_fused(starts_ref, counts_ref, pix_ref, buf_ref, res_ref,
 
 def _bwd_call(inst, counts, pix, res, g, C: int, cfg: RasterConfig):
     T, K, F = inst.shape
+    NPIX = pix.shape[-1]
     CH = cfg.pallas_chunk
     kernel = functools.partial(_bwd_kernel, C=C, CH=CH, K=K, F=F, cfg=cfg)
     return pl.pallas_call(
@@ -478,9 +481,9 @@ def _bwd_call(inst, counts, pix, res, g, C: int, cfg: RasterConfig):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, K, F), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, NPIX), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, OUT_ROWS, NPIX), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, OUT_ROWS, NPIX), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, K, F), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
@@ -503,7 +506,7 @@ def _xla_rows(inst, counts, pix, C: int, cfg: RasterConfig):
     (T, _done, color, dep, nrm, m1, m2, dist, med) = surfel_composite(
         inst, inst_valid, dirs, pix_x, pix_y, C, cfg
     )
-    pad = jnp.zeros((Tn, OUT_ROWS - C - 9, LANES), jnp.float32)
+    pad = jnp.zeros((Tn, OUT_ROWS - C - 9, pix.shape[-1]), jnp.float32)
     return jnp.concatenate(
         [color, dep[:, None], T[:, None], nrm, med[:, None], dist[:, None],
          m1[:, None], m2[:, None], pad], axis=1
@@ -512,10 +515,11 @@ def _xla_rows(inst, counts, pix, C: int, cfg: RasterConfig):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def surfel_composite_tiles(inst, counts, pix, C: int, cfg: RasterConfig):
-    """[T, K, F] packed surfel instances -> [T, 16, 128] output rows:
+    """[T, K, F] packed surfel instances -> [T, 16, NPIX] output rows:
     0..C-1 color, C depth, C+1 final_T, C+2..C+4 normal, C+5 median depth,
-    C+6 distortion."""
+    C+6 distortion. NPIX = tile_h * 128 lanes, like the beam kernel."""
     T, K, F = inst.shape
+    NPIX = pix.shape[-1]
     CH = cfg.pallas_chunk
     assert K % CH == 0
     kernel = functools.partial(_fwd_kernel, C=C, CH=CH, cfg=cfg)
@@ -525,12 +529,12 @@ def surfel_composite_tiles(inst, counts, pix, C: int, cfg: RasterConfig):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, K, F), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, NPIX), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, OUT_ROWS, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+            (1, OUT_ROWS, NPIX), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((T, OUT_ROWS, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, OUT_ROWS, NPIX), jnp.float32),
         interpret=_interpret(),
     )(counts, inst, pix)
 
@@ -562,6 +566,7 @@ surfel_composite_tiles.defvjp(_vjp_fwd, _vjp_bwd)
 
 def _fused_fwd_call(buf, starts, counts, pix, C: int, cfg: RasterConfig):
     T = counts.shape[0]
+    NPIX = pix.shape[-1]
     _, F = buf.shape
     # Mosaic requires DMA slice widths aligned to the (1,128) lane tiling
     # (see pallas_composite._fused_fwd_call): pad the packed feature dim.
@@ -578,13 +583,13 @@ def _fused_fwd_call(buf, starts, counts, pix, C: int, cfg: RasterConfig):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, LANES), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, 8, NPIX), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, OUT_ROWS, NPIX), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, OUT_ROWS, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, OUT_ROWS, NPIX), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, K, F_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -596,6 +601,7 @@ def _fused_fwd_call(buf, starts, counts, pix, C: int, cfg: RasterConfig):
 def _fused_bwd_call(buf, starts, counts, pix, res, g, C: int,
                     cfg: RasterConfig):
     T = counts.shape[0]
+    NPIX = pix.shape[-1]
     E_pad, F = buf.shape
     F_pad = -(-F // 128) * 128  # lane-tiling alignment, as in the fwd call
     if F_pad != F:
@@ -611,12 +617,12 @@ def _fused_bwd_call(buf, starts, counts, pix, res, g, C: int,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, LANES), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, 8, NPIX), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, OUT_ROWS, NPIX), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, OUT_ROWS, LANES), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, OUT_ROWS, NPIX), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),

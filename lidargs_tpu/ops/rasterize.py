@@ -266,9 +266,7 @@ def _use_pallas(cfg: RasterConfig, C: int, surfel: bool = False) -> bool:
         return True
     if cfg.backend == "xla":
         return False
-    lanes_ok = (cfg.tile_h == 1 and cfg.tile_w == 128) if surfel else (
-        cfg.tile_w == 128 and cfg.tile_h in (1, 2, 4, 8)
-    )
+    lanes_ok = cfg.tile_w == 128 and cfg.tile_h in (1, 2, 4, 8)
     return (
         jax.default_backend() == "tpu"
         and lanes_ok

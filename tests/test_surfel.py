@@ -286,3 +286,35 @@ def test_surfel_fused_gather_matches_materialized():
     assert bool(jnp.isfinite(gf).all())
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gm),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_surfel_pallas_tile_h4_matches_1x128():
+    """NPIX-generic surfel kernels (r4): a 4x128 physical tiling must
+    reproduce the 1x128 image through the pallas path — incl. the
+    auxiliary channels and gradients through the hand backward."""
+    base = replace(CFG, backend="pallas", tile_capacity=256, pallas_chunk=8)
+    h4 = replace(base, tile_h=4, tile_capacity=1024)
+    sc, scales2 = _surfel_scene(jax.random.key(13), n=120, H=16, W=256)
+    pk = _pack(sc, scales2, cfg=base)
+    bg = jnp.asarray([0.2, 0.6], jnp.float32)
+    a = jax.jit(lambda p: render_surfels(p, sc.beams, sc.W, bg, base))(pk)
+    assert int(a.n_overflow) == 0
+    b = jax.jit(lambda p: render_surfels(p, sc.beams, sc.W, bg, h4))(pk)
+    assert int(b.n_overflow) == 0
+    cmp = lambda x, y, **kw: np.testing.assert_allclose(
+        np.asarray(x), np.asarray(y), rtol=1e-5, **kw)
+    cmp(b.color, a.color, atol=1e-5)
+    cmp(b.depth, a.depth, atol=1e-4)
+    cmp(b.normal, a.normal, atol=1e-5)
+    cmp(b.median_depth, a.median_depth, atol=1e-4)
+    cmp(b.distortion, a.distortion, atol=1e-4)
+
+    def loss(pk, cfg):
+        o = render_surfels(pk, sc.beams, sc.W, bg, cfg)
+        return (jnp.mean(o.color ** 2) + 0.1 * jnp.mean(o.depth)
+                + 0.01 * jnp.mean(o.distortion))
+
+    g1 = jax.jit(jax.grad(lambda p: loss(p, base)))(pk)
+    g4 = jax.jit(jax.grad(lambda p: loss(p, h4)))(pk)
+    np.testing.assert_allclose(np.asarray(g4), np.asarray(g1),
+                               atol=5e-5, rtol=2e-3)

@@ -74,7 +74,9 @@ def main():
                         ("beam+fused", rcfg_fused),
                         ("surfel+fused", rcfg_fused),
                         ("beam h4/K512/cap4", rcfg_h4f),
-                        ("beam h4/K768/cap8", rcfg_h4q)):
+                        ("beam h4/K768/cap8", rcfg_h4q),
+                        ("surfel h4/K768/cap8", rcfg_h4q),
+                        ("surfel h4/K512/cap4", rcfg_h4f)):
         base_variant = "surfel" if variant.startswith("surfel") else "beam"
         # re-materialize from host copies: donate_argnums consumes the
         # previous variant's device buffers (incl. valid inside the state)
