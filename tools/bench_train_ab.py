@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bench_render_ab import VARIANTS  # noqa: E402
 
 
-def run_variant(name, kw, root, args):
+def run_variant(name, kw, root, args, variant="beam"):
     import jax
     import jax.numpy as jnp
 
@@ -61,7 +61,7 @@ def run_variant(name, kw, root, args):
     )
     scene = Scene.create(cfg)
     trainer = Trainer(mcfg=cfg.model, ocfg=cfg.opt, rcfg=rcfg,
-                      bg=jnp.zeros((2,), jnp.float32))
+                      bg=jnp.zeros((2,), jnp.float32), variant=variant)
     state = init_train_state(scene.field, cfg.model)
 
     rng = random.Random(cfg.seed)
@@ -125,6 +125,8 @@ def main():
     ap.add_argument("--max_visible", type=int, default=2 ** 16)
     ap.add_argument("--tile_capacity", type=int, default=384)
     ap.add_argument("--outdir", default="/tmp/train_ab")
+    ap.add_argument("--surfel", action="store_true",
+                    help="train through the 2DGS surfel rasterizer")
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
 
@@ -138,7 +140,8 @@ def main():
     for name in args.variants.split(","):
         kw = VARIANTS[name]
         try:
-            r = run_variant(name, kw, root, args)
+            r = run_variant(name, kw, root, args,
+                            variant="surfel" if args.surfel else "beam")
         except Exception as e:  # noqa: BLE001 — keep sweeping
             print(f"{name}: FAILED {repr(e)[:200]}", flush=True)
             continue
