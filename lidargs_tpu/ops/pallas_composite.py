@@ -235,6 +235,12 @@ def _bwd_tile(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
     gc = g[0:C]
     gd = g[C : C + 1]
     gT = g[C + 1 : C + 2]
+    # every suffix term is linear in its cumsum, so the whole `behind`
+    # collapses to ONE prefix scan of w*direct:
+    #   sum_x g_x (tot_x - A_x - incl(w*x)) = TOT - ACCw - incl(w*direct)
+    # — one cumsum per chunk instead of C+1, one [1, NP] carry instead of
+    # [C+1, NP]
+    TOT = (jnp.sum(gc * totc, axis=0, keepdims=True) + gd * totd)
 
     # dynamic trip count + transmittance early exit, like the forward: once
     # every lane is done, later chunks contribute d_s = 0 — pre-zero the
@@ -244,24 +250,19 @@ def _bwd_tile(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
     nch = pl.cdiv(count, CH)
 
     def cond(st):
-        i, T, done, Ac, Ad = st
+        i, T, done, ACCw = st
         return (i < nch) & (jnp.min(done) < 0.5)
 
     def body(st):
-        i, T, done, Ac, Ad = st           # T/done at chunk ENTRY; applied
-        s = inst_ref[b, pl.ds(i * CH, CH), :]   # prefix sums over chunks < i
+        i, T, done, ACCw = st             # T/done at chunk ENTRY; ACCw =
+        s = inst_ref[b, pl.ds(i * CH, CH), :]   # sum of w*direct, chunks < i
         f = _chunk_fields(s, C)
         alpha, passed, gm = _alpha_pass(f, pix, count, i * CH, CH, cfg)
         w, applied, P, T_new, done_new = _chunk_weights(alpha, passed, T, done, cfg, CH)
 
-        wc = [w * f["feat"][c] for c in range(C)]
-        wd = w * f["dep"]
-        # suffix sums over the WHOLE applied list: total - (prefix-before + incl-in-chunk)
-        after_c = [totc[c : c + 1] - Ac[c : c + 1] - _cumsum(wc[c], CH) for c in range(C)]
-        after_d = totd - Ad - _cumsum(wd, CH)
-
         direct = sum(gc[c : c + 1] * f["feat"][c] for c in range(C)) + gd * f["dep"]
-        behind = sum(gc[c : c + 1] * after_c[c] for c in range(C)) + gd * after_d
+        wdir = w * direct
+        behind = TOT - ACCw - _cumsum(wdir, CH)
         inv1m = 1.0 / (1.0 - alpha)
         dalpha = P * direct - inv1m * (behind + gT * Tfin)
         live = applied & (gm["araw"] <= cfg.alpha_clamp)
@@ -303,17 +304,13 @@ def _bwd_tile(counts_ref, inst_ref, pix_ref, res_ref, g_ref, dinst_ref,
         )
         dinst_ref[b, pl.ds(i * CH, CH), :] = d_s
 
-        Ac = Ac + jnp.concatenate(
-            [jnp.sum(wc[c], axis=0, keepdims=True) for c in range(C)], axis=0
-        )
-        Ad = Ad + jnp.sum(wd, axis=0, keepdims=True)
-        return (i + 1, T_new, done_new, Ac, Ad)
+        ACCw = ACCw + jnp.sum(wdir, axis=0, keepdims=True)
+        return (i + 1, T_new, done_new, ACCw)
 
     init = (
         jnp.zeros((), jnp.int32),
         jnp.ones((1, NP), jnp.float32),
         jnp.zeros((1, NP), jnp.float32),
-        jnp.zeros((C, NP), jnp.float32),
         jnp.zeros((1, NP), jnp.float32),
     )
     jax.lax.while_loop(cond, body, init)
@@ -423,29 +420,27 @@ def _bwd_kernel_fused(starts_ref, counts_ref, pix_ref, buf_ref, res_ref,
     gc = g[0:C]
     gd = g[C : C + 1]
     gT = g[C + 1 : C + 2]
+    # one fused suffix scan, as in _bwd_tile (linearity of cumsum)
+    TOT = (jnp.sum(gc * totc, axis=0, keepdims=True) + gd * totd)
     dscr[...] = jnp.zeros((K, F), jnp.float32)
     nch = pl.cdiv(count, CH)
     _fused_window_dma(buf_ref, starts_ref, scr, sem, t, slot, K).wait()
     scratch = scr.at[slot]
 
     def cond(st):
-        i, T_, done, Ac, Ad = st
+        i, T_, done, ACCw = st
         return (i < nch) & (jnp.min(done) < 0.5)
 
     def body(st):
-        i, T_, done, Ac, Ad = st
+        i, T_, done, ACCw = st
         s = scratch[pl.ds(i * CH, CH), :]
         f = _chunk_fields(s, C)
         alpha, passed, gm = _alpha_pass(f, pix, count, i * CH, CH, cfg)
         w, applied, P, T_new, done_new = _chunk_weights(alpha, passed, T_, done, cfg, CH)
 
-        wc = [w * f["feat"][c] for c in range(C)]
-        wd = w * f["dep"]
-        after_c = [totc[c : c + 1] - Ac[c : c + 1] - _cumsum(wc[c], CH) for c in range(C)]
-        after_d = totd - Ad - _cumsum(wd, CH)
-
         direct = sum(gc[c : c + 1] * f["feat"][c] for c in range(C)) + gd * f["dep"]
-        behind = sum(gc[c : c + 1] * after_c[c] for c in range(C)) + gd * after_d
+        wdir = w * direct
+        behind = TOT - ACCw - _cumsum(wdir, CH)
         inv1m = 1.0 / (1.0 - alpha)
         dalpha = P * direct - inv1m * (behind + gT * Tfin)
         live = applied & (gm["araw"] <= cfg.alpha_clamp)
@@ -484,17 +479,13 @@ def _bwd_kernel_fused(starts_ref, counts_ref, pix_ref, buf_ref, res_ref,
         )
         dscr[pl.ds(i * CH, CH), :] = d_s
 
-        Ac = Ac + jnp.concatenate(
-            [jnp.sum(wc[c], axis=0, keepdims=True) for c in range(C)], axis=0
-        )
-        Ad = Ad + jnp.sum(wd, axis=0, keepdims=True)
-        return (i + 1, T_new, done_new, Ac, Ad)
+        ACCw = ACCw + jnp.sum(wdir, axis=0, keepdims=True)
+        return (i + 1, T_new, done_new, ACCw)
 
     init = (
         jnp.zeros((), jnp.int32),
         jnp.ones((1, NP), jnp.float32),
         jnp.zeros((1, NP), jnp.float32),
-        jnp.zeros((C, NP), jnp.float32),
         jnp.zeros((1, NP), jnp.float32),
     )
     jax.lax.while_loop(cond, body, init)

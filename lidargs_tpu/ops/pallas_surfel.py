@@ -256,6 +256,15 @@ def _bwd_tile(read, write, count, pixb, res, g, *, C, CH, F, cfg):
     gm2 = g[C + 8 : C + 9]
     Wtot = 1.0 - Tfin
     dirx, diry, dirz = pix[0], pix[1], pix[2]
+    # every suffix term is linear in its cumsum (sum_x g_x (tot_x − A_x −
+    # incl(w·x)) = TOT − ACCw − incl(w·direct), with the distortion chain's
+    # dist_after + q_after contributing 2·totdist and w·(ψ+S) — exactly the
+    # gdist part of `direct`), so `behind` needs ONE fused prefix scan per
+    # chunk instead of nine; only the VALUE prefixes m1pre/m2pre (needed by
+    # ψ and S themselves) keep their own carries.
+    TOT = (jnp.sum(gc * totc, axis=0, keepdims=True) + gd * totd
+           + jnp.sum(gn * totn, axis=0, keepdims=True)
+           + gdist * 2.0 * totdist + gm1 * totm1 + gm2 * totm2)
 
     nch = pl.cdiv(count, CH)
 
@@ -263,7 +272,7 @@ def _bwd_tile(read, write, count, pixb, res, g, *, C, CH, F, cfg):
         return (st[0] < nch) & (jnp.min(st[2]) < 0.5)
 
     def body(st):
-        (i, T, done, Ac, Ad, An, Am1, Am2, AD, AQ) = st
+        (i, T, done, ACCw, Am1, Am2) = st
         s = read(i)
         alpha, passed, depth, m, feat, nrm, rowi, gme = _surfel_alpha(
             s, pix, count, i * CH, CH, C, cfg
@@ -273,13 +282,9 @@ def _bwd_tile(read, write, count, pixb, res, g, *, C, CH, F, cfg):
         )
         Z = jnp.zeros((CH, NP), jnp.float32)
 
-        wc = [w * feat[c] for c in range(C)]
-        wd = w * depth
-        wn = [w * nrm[k] for k in range(3)]
         wm = w * m
         wm2 = wm * m
 
-        incl = lambda x: _cumsum(x, CH)
         excl = lambda x: jnp.concatenate(
             [jnp.zeros((1, NP), jnp.float32), _cumsum(x, CH)[: CH - 1]], 0
         )
@@ -287,20 +292,10 @@ def _bwd_tile(read, write, count, pixb, res, g, *, C, CH, F, cfg):
         m2pre = Am2 + excl(wm2)
         Apre = 1.0 - P                       # Σ_{j<k} w_j (applied prefix)
         psi = m * m * Apre + m2pre - 2.0 * m * m1pre
-        Dk = w * psi
         Wafter = P - w - Tfin                # Wtot − Apre − w
         m1after = totm1 - m1pre - wm
         m2after = totm2 - m2pre - wm2
         Sk = m * m * Wafter - 2.0 * m * m1after + m2after
-        q = w * Sk
-
-        after_c = [totc[c : c + 1] - Ac[c : c + 1] - incl(wc[c]) for c in range(C)]
-        after_d = totd - Ad - incl(wd)
-        after_n = [totn[k : k + 1] - An[k : k + 1] - incl(wn[k]) for k in range(3)]
-        dist_after = totdist - AD - incl(Dk)
-        q_after = totdist - AQ - incl(q)     # Σ_i w_i S_i == dist
-        after_m1 = totm1 - Am1 - incl(wm)
-        after_m2 = totm2 - Am2 - incl(wm2)
 
         direct = (
             sum(gc[c : c + 1] * feat[c] for c in range(C))
@@ -309,13 +304,8 @@ def _bwd_tile(read, write, count, pixb, res, g, *, C, CH, F, cfg):
             + gdist * (psi + Sk)
             + gm1 * m + gm2 * m * m
         )
-        behind = (
-            sum(gc[c : c + 1] * after_c[c] for c in range(C))
-            + gd * after_d
-            + sum(gn[k : k + 1] * after_n[k] for k in range(3))
-            + gdist * (dist_after + q_after)
-            + gm1 * after_m1 + gm2 * after_m2
-        )
+        wdir = w * direct
+        behind = TOT - ACCw - _cumsum(wdir, CH)
         inv1m = 1.0 / (1.0 - alpha)
         dalpha = P * direct - inv1m * (behind + gT * Tfin)
         live = applied & (gme["araw"] <= cfg.alpha_clamp)
@@ -399,23 +389,15 @@ def _bwd_tile(read, write, count, pixb, res, g, *, C, CH, F, cfg):
         )
         write(i, d_s)
 
-        Ac = Ac + jnp.concatenate(
-            [jnp.sum(wc[c], 0, keepdims=True) for c in range(C)], 0
-        )
-        Ad = Ad + jnp.sum(wd, 0, keepdims=True)
-        An = An + jnp.concatenate(
-            [jnp.sum(wn[k], 0, keepdims=True) for k in range(3)], 0
-        )
+        ACCw = ACCw + jnp.sum(wdir, 0, keepdims=True)
         Am1 = Am1 + jnp.sum(wm, 0, keepdims=True)
         Am2 = Am2 + jnp.sum(wm2, 0, keepdims=True)
-        AD = AD + jnp.sum(Dk, 0, keepdims=True)
-        AQ = AQ + jnp.sum(q, 0, keepdims=True)
-        return (i + 1, T_new, done_new, Ac, Ad, An, Am1, Am2, AD, AQ)
+        return (i + 1, T_new, done_new, ACCw, Am1, Am2)
 
     z = lambda r: jnp.zeros((r, NP), jnp.float32)
     init = (
         jnp.zeros((), jnp.int32), jnp.ones((1, NP), jnp.float32), z(1),
-        z(C), z(1), z(3), z(1), z(1), z(1), z(1),
+        z(1), z(1), z(1),
     )
     jax.lax.while_loop(cond, body, init)
 
