@@ -111,6 +111,13 @@ class RasterConfig:
     # h2/K384 11.8->17.3 ms) — XLA's gather pipelines better than the
     # kernel's serial window DMAs. Stays default-off.
     fused_gather: bool = False
+    # rematerialize the per-gaussian projection in the backward instead of
+    # storing its ~20 [P]-sized intermediates: the projection is ~100
+    # elementwise flops/gaussian, so recompute is HBM-cheaper than the
+    # residual round-trip whenever the step is bandwidth-bound. Candidate
+    # from the r4 --grad-prefix split (projection autodiff ~3 ms of the
+    # 31 ms default step); measured via bench_train_step "+rematproj".
+    remat_projection: bool = False
 
     def grid_shape(self, H: int, W: int) -> Tuple[int, int]:
         return (-(-H // self.tile_h), -(-W // self.tile_w))

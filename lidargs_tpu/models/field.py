@@ -334,10 +334,16 @@ def render_field(
     ng = generate_neural_gaussians(
         params, valid, anchor_visible, frame.center, mcfg, cam_uid=frame.uid
     )
-    splats = preprocess_gaussians(
-        ng.xyz, ng.scaling, ng.rot, ng.opacity, ng.feat, ng.mask,
-        frame.w2s_rot, frame.w2s_trans, frame.beams, frame.W, rcfg,
-    )
+
+    def _proj(xyz, scaling, rot, opacity, feat, mask):
+        return preprocess_gaussians(
+            xyz, scaling, rot, opacity, feat, mask,
+            frame.w2s_rot, frame.w2s_trans, frame.beams, frame.W, rcfg,
+        )
+
+    if rcfg.remat_projection:
+        _proj = jax.checkpoint(_proj)
+    splats = _proj(ng.xyz, ng.scaling, ng.rot, ng.opacity, ng.feat, ng.mask)
     if sphere_proxy is not None:
         splats = splats._replace(sphere_mean=splats.sphere_mean + sphere_proxy)
     out = render_tiled(splats, frame.beams, frame.W, bg, rcfg, tile_spec=tile_spec)
@@ -369,9 +375,15 @@ def render_field_surfel(
         params, valid, anchor_visible, frame.center, mcfg, cam_uid=frame.uid
     )
     xyz = ng.xyz if mean_proxy is None else ng.xyz + mean_proxy
-    pk = preprocess_surfels(
-        xyz, ng.scaling[:, :2], ng.rot, ng.opacity, ng.feat, ng.mask,
-        frame.w2s_rot, frame.w2s_trans, frame.beams, frame.W, rcfg,
-    )
+
+    def _proj(xyz_, scaling, rot, opacity, feat, mask):
+        return preprocess_surfels(
+            xyz_, scaling, rot, opacity, feat, mask,
+            frame.w2s_rot, frame.w2s_trans, frame.beams, frame.W, rcfg,
+        )
+
+    if rcfg.remat_projection:
+        _proj = jax.checkpoint(_proj)
+    pk = _proj(xyz, ng.scaling[:, :2], ng.rot, ng.opacity, ng.feat, ng.mask)
     out = render_surfels(pk, frame.beams, frame.W, bg, rcfg, C=ng.feat.shape[-1])
     return out, ng, anchor_visible

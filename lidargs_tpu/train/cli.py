@@ -70,6 +70,13 @@ def build_config(argv=None):
     p.add_argument("--instance_capacity", type=int, default=None,
                    help="rank-search instance emission budget (0 = exact "
                         "dense, -1 = legacy expansion; default config)")
+    p.add_argument("--remat_projection", type=int, default=None,
+                   choices=(0, 1),
+                   help="recompute the per-gaussian projection in the "
+                        "backward instead of storing residuals (default: "
+                        "on for beam runs at tile_capacity>=768, where it "
+                        "measured 30.1->28.9 ms/step on v5e; off below "
+                        "that — recompute loses at small K)")
     p.add_argument("--fused_gather", action="store_true",
                    help="fused-gather windowed-DMA pallas kernels (no "
                         "[T,K,F] materialization; beam variant)")
@@ -156,6 +163,11 @@ def build_config(argv=None):
     depth_min = args.depth_min
     if depth_min is None:
         depth_min = 5.0 if args.data_label == "waymo" else 1.0
+    eff_cap = (args.tile_capacity if args.tile_capacity is not None
+               else (384 if args.surfel else 768))
+    remat_proj = (bool(args.remat_projection)
+                  if args.remat_projection is not None
+                  else (not args.surfel and eff_cap >= 768))
 
     cfg = TrainConfig(
         model=ModelConfig(voxel_size=args.voxel_size,
@@ -180,14 +192,20 @@ def build_config(argv=None):
                 # layout (its pallas path requires tile_h=1).
                 ("tile_h", args.tile_h if args.tile_h is not None
                  else (1 if args.surfel else 4)),
-                ("tile_capacity", args.tile_capacity
-                 if args.tile_capacity is not None
-                 else (384 if args.surfel else 768)),
+                ("tile_capacity", eff_cap),
                 ("max_tiles_per_gaussian", args.max_tiles_per_gaussian
                  if args.max_tiles_per_gaussian is not None
                  else (None if args.surfel else 8)),
                 ("pallas_chunk", args.pallas_chunk),
                 ("instance_capacity", args.instance_capacity),
+                # Rematerialize the projection in the backward at the
+                # beam training default: measured on chip (r4,
+                # bench_train_step) 30.1 -> 28.9 ms/step at h4/K768/cap8.
+                # It LOSES at smaller K (h4/K512/cap4 22.4 -> 23.2 ms:
+                # recompute overhead beats the residual-traffic saving
+                # only once the stored-intermediate volume is large), so
+                # the default is gated on tile_capacity >= 768.
+                ("remat_projection", remat_proj),
             ) if v is not None},
             **({"fused_gather": True, "backend": "pallas"}
                if args.fused_gather else {}),

@@ -1,8 +1,10 @@
 """Waymo-scale surfel vs beam train-step timing on the real TPU
-(PYTHONPATH=. python tools/bench_train_step.py).
+(PYTHONPATH=. python tools/bench_train_step.py [substr ...]).
+Positional args filter the variant list by substring match, so a tunnel
+window can time just the configs under test.
 Round-1 baseline: beam 42 ms, surfel 101 ms (XLA autodiff backward);
 round-2 adds the hand surfel backward and the fused-gather variants."""
-import functools, time
+import functools, sys, time
 import numpy as np
 import jax, jax.numpy as jnp
 
@@ -70,13 +72,28 @@ def main():
                         max_tiles_per_gaussian=4)
     rcfg_h4q = _replace(rcfg, tile_h=4, tile_capacity=768,
                         max_tiles_per_gaussian=8)
-    for variant, vr in (("beam", rcfg), ("surfel", rcfg),
-                        ("beam+fused", rcfg_fused),
-                        ("surfel+fused", rcfg_fused),
-                        ("beam h4/K512/cap4", rcfg_h4f),
-                        ("beam h4/K768/cap8", rcfg_h4q),
-                        ("surfel h4/K768/cap8", rcfg_h4q),
-                        ("surfel h4/K512/cap4", rcfg_h4f)):
+    variants = (("beam", rcfg), ("surfel", rcfg),
+                ("beam+fused", rcfg_fused),
+                ("surfel+fused", rcfg_fused),
+                ("beam h4/K512/cap4", rcfg_h4f),
+                ("beam h4/K768/cap8", rcfg_h4q),
+                ("surfel h4/K768/cap8", rcfg_h4q),
+                ("surfel h4/K512/cap4", rcfg_h4f),
+                ("beam h4/K768/cap8+rematproj",
+                 _replace(rcfg_h4q, remat_projection=True)),
+                ("beam h4/K512/cap4+rematproj",
+                 _replace(rcfg_h4f, remat_projection=True)),
+                ("surfel+rematproj",
+                 _replace(rcfg, remat_projection=True)),
+                ("surfel h4/K512/cap4+rematproj",
+                 _replace(rcfg_h4f, remat_projection=True)))
+    picks = sys.argv[1:]
+    if picks:
+        # "=name" is an exact match, anything else a substring match
+        hit = lambda v: any(p[1:] == v if p.startswith("=") else p in v
+                            for p in picks)
+        variants = [(v, vr) for v, vr in variants if hit(v)]
+    for variant, vr in variants:
         base_variant = "surfel" if variant.startswith("surfel") else "beam"
         # re-materialize from host copies: donate_argnums consumes the
         # previous variant's device buffers (incl. valid inside the state)
