@@ -255,16 +255,68 @@ def main() -> None:
 
     fps = 1.0 / dt
     rays_per_s = H * W * fps
-    try:  # % of speed-of-light (sum of stage SoLs at this workload)
+    best_kw = dict(kw2 for nm, kw2 in variants if nm == best_name) \
+        if best_name != "base" else {}
+    win_rcfg = replace(base_rcfg, **best_kw)
+    try:  # % of speed-of-light at the WINNER's live pipeline shape
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
-        from roofline import bench_sol_ms
+        from roofline import bench_stages
 
-        sol_ms = bench_sol_ms(visible=n_vis)
+        sol_stages = bench_stages(
+            visible=n_vis, tile_h=win_rcfg.tile_h,
+            tile_capacity=win_rcfg.tile_capacity,
+            max_tiles_per_gaussian=win_rcfg.max_tiles_per_gaussian,
+            max_visible=win_rcfg.max_visible)
+        sol_ms = sum(s["sol_s"] for s in sol_stages) * 1e3
         print(f"# SoL(stage-sum)={sol_ms:.2f} ms -> "
               f"{100.0 * sol_ms / (dt * 1e3):.1f}% of speed-of-light",
               file=sys.stderr)
     except Exception:  # noqa: BLE001 — diagnostics only
-        pass
+        sol_stages = None
+
+    # Per-stage measured-vs-SoL table for the winner (VERDICT r4 #7).
+    # Cumulative-prefix timing on the fetch-synced scan protocol
+    # (tools/chiptime.py: block_until_ready is a no-op for the non-pallas
+    # prefixes on this backend). One compile per prefix (k replications
+    # inside one program; fixed overhead ~latency/k rides along, so the
+    # table slightly OVERSTATES each prefix — deltas are unaffected).
+    if (os.environ.get("BENCH_STAGE_SPLIT", "1") != "0"
+            and sol_stages is not None
+            and time.perf_counter() - t_tune < budget_s):
+        try:
+            from chiptime import measure_fetch, null_latency
+            from prefixes import make_prefixes
+
+            k_rep = 8
+            lat = null_latency()
+
+            def prefix_ms(fn):
+                @jax.jit
+                def run(p, v, f):
+                    def body(c, _):
+                        q = dict(p)
+                        q["anchor"] = p["anchor"] + c * 1e-30
+                        return fn(q, v, f) * 1e-30, None
+                    c, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                        length=k_rep)
+                    return c
+                return max(measure_fetch(run, *args, n=7) - lat, 0.0) / k_rep
+
+            cum = [(nm, prefix_ms(fn)) for nm, fn in
+                   make_prefixes(mcfg, win_rcfg, H, W)]
+            cum.append(("composite (full frame)", dt * 1e3))
+            # group roofline stages to match the prefix deltas
+            groups = ([0, 1], [2, 3], [4], [5], [6])
+            prev = 0.0
+            for (nm, t), idx in zip(cum, groups):
+                sol = sum(sol_stages[i]["sol_s"] for i in idx) * 1e3
+                d = t - prev
+                prev = t
+                print(f"# stage {nm:24s}: {d:6.2f} ms  SoL {sol:5.2f} ms "
+                      f"({d / max(sol, 1e-9):5.1f}x)", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — diagnostics only
+            msg = repr(e).replace("\n", " ")[:120]
+            print(f"# stage split skipped ({msg})", file=sys.stderr)
     result = {
         "metric": "render_fps_64x2650_scaffold_k6",
         "value": round(fps, 2),

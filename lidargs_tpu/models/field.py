@@ -131,14 +131,24 @@ def init_field_from_points(
 
 
 class NeuralGaussians(NamedTuple):
-    xyz: jnp.ndarray         # [C*k, 3]
-    feat: jnp.ndarray        # [C*k, channels] (intensity..., raydrop)
-    opacity: jnp.ndarray     # [C*k] raw tanh output (rasterizer opacity)
-    scaling: jnp.ndarray     # [C*k, 3] cov scales (activated)
-    rot: jnp.ndarray         # [C*k, 4] normalized
-    mask: jnp.ndarray        # [C*k] anchor-valid & visible & opacity>0
-    neural_opacity: jnp.ndarray  # [C*k] pre-mask (densification stats)
-    sel_mask: jnp.ndarray    # [C*k] opacity>0 & visible (reference's
+    """Decoded per-view gaussians, anchor-major [C, k, ...].
+
+    The anchor-major shape is load-bearing for TPU performance: collapsing
+    to [C*k, x] (x = 3/4/7) between the decode GEMMs and the projection
+    forces a relayout per array (the (k, x) minor dims re-tile) and breaks
+    XLA fusion — measured +1.8 ms/frame at bench scale (r5,
+    tools/bench_front_ab.py). The projection is elementwise over gaussians
+    and consumes [C, k, ...] directly; the ONE flatten happens on the
+    packed [C, k, F] rows inside render_tiled."""
+
+    xyz: jnp.ndarray         # [C, k, 3]
+    feat: jnp.ndarray        # [C, k, channels] (intensity..., raydrop)
+    opacity: jnp.ndarray     # [C, k] raw tanh output (rasterizer opacity)
+    scaling: jnp.ndarray     # [C, k, 3] cov scales (activated)
+    rot: jnp.ndarray         # [C, k, 4] normalized
+    mask: jnp.ndarray        # [C, k] anchor-valid & visible & opacity>0
+    neural_opacity: jnp.ndarray  # [C, k] pre-mask (densification stats)
+    sel_mask: jnp.ndarray    # [C, k] opacity>0 & visible (reference's
                              # offset_selection_mask over visible anchors)
 
 
@@ -200,18 +210,16 @@ def generate_neural_gaussians(
         for i, n in enumerate(names):
             hi = h[:, i * Hd : (i + 1) * Hd]
             outs.append(hi @ params[n]["l2"]["w"] + params[n]["l2"]["b"])
-        neural_op = jnp.tanh(outs[0])
+        neural_op = jnp.tanh(outs[0])                              # [C,k]
         intensity = jax.nn.sigmoid(outs[1])
         raydrop = jax.nn.sigmoid(outs[2])
-        scale_rot = outs[3].reshape(Cap * k, 7)
-        neural_op = neural_op.reshape(-1)
-        intensity = intensity.reshape(Cap * k, cfg.color_channel - 1)
-        raydrop = raydrop.reshape(Cap * k, 1)
-        color = jnp.concatenate([intensity, raydrop], 1)
+        scale_rot = outs[3].reshape(Cap, k, 7)
+        intensity = intensity.reshape(Cap, k, cfg.color_channel - 1)
+        raydrop = raydrop.reshape(Cap, k, 1)
+        color = jnp.concatenate([intensity, raydrop], -1)
     else:
         op_in = cat if cfg.add_opacity_dist else cat_nodist
         neural_op = apply_mlp(params["mlp_opacity"], op_in, final_act=jnp.tanh)  # [C,k]
-        neural_op = neural_op.reshape(-1)
 
         col_in = cat if cfg.add_color_dist else cat_nodist
         if cfg.appearance_dim > 0 and "appearance" in params:
@@ -223,30 +231,27 @@ def generate_neural_gaussians(
             col_in_c = col_in_r = col_in
         intensity = apply_mlp(params["mlp_color"], col_in_c, final_act=jax.nn.sigmoid)
         raydrop = apply_mlp(params["mlp_raydrop"], col_in_r, final_act=jax.nn.sigmoid)
-        intensity = intensity.reshape(Cap * k, cfg.color_channel - 1)
-        raydrop = raydrop.reshape(Cap * k, 1)
-        color = jnp.concatenate([intensity, raydrop], 1)
+        intensity = intensity.reshape(Cap, k, cfg.color_channel - 1)
+        raydrop = raydrop.reshape(Cap, k, 1)
+        color = jnp.concatenate([intensity, raydrop], -1)
 
         cov_in = cat if cfg.add_cov_dist else cat_nodist
-        scale_rot = apply_mlp(params["mlp_cov"], cov_in).reshape(Cap * k, 7)
+        scale_rot = apply_mlp(params["mlp_cov"], cov_in).reshape(Cap, k, 7)
 
+    # anchor-major epilogue: [C, 1, x] broadcasts instead of [C*k, x]
+    # repeats (see the NeuralGaussians docstring for the measured why)
     scaling_all = jnp.exp(params["scaling"])                       # [C,6]
-    offset_scale = jnp.repeat(scaling_all[:, :3], k, axis=0)       # [C*k,3]
-    cov_scale_base = jnp.repeat(scaling_all[:, 3:], k, axis=0)
-    anchor_rep = jnp.repeat(anchor, k, axis=0)
-
-    scaling = cov_scale_base * jax.nn.sigmoid(scale_rot[:, :3])
-    q = scale_rot[:, 3:7]
-    qn2 = jnp.sum(q * q, axis=1, keepdims=True)
+    scaling = scaling_all[:, None, 3:] * jax.nn.sigmoid(scale_rot[..., :3])
+    q = scale_rot[..., 3:7]
+    qn2 = jnp.sum(q * q, axis=-1, keepdims=True)
     rot = jnp.where(qn2 > 0, q, jnp.array([1.0, 0, 0, 0])) / jnp.sqrt(
         jnp.where(qn2 > 0, qn2, 1.0)
     )
 
-    offsets = params["offset"].reshape(Cap * k, 3) * offset_scale
-    xyz = anchor_rep + offsets
+    xyz = anchor[:, None, :] + params["offset"] * scaling_all[:, None, :3]
 
-    vis = jnp.repeat(valid & anchor_visible, k, axis=0)
-    sel = neural_op > 0.0
+    vis = (valid & anchor_visible)[:, None]                        # [C,1]
+    sel = neural_op > 0.0                                          # [C,k]
     mask = vis & sel
     return NeuralGaussians(
         xyz=xyz,
@@ -277,6 +282,13 @@ def prefilter_anchors(
     )
 
 
+def _maybe_remat(fn, rcfg: RasterConfig):
+    """Wrap the projection in jax.checkpoint when rcfg.remat_projection —
+    recompute it in the backward instead of storing residuals (measured
+    win only at beam h4/K768, see config.py)."""
+    return jax.checkpoint(fn) if rcfg.remat_projection else fn
+
+
 def render_field(
     params: dict,
     valid: jnp.ndarray,
@@ -290,8 +302,8 @@ def render_field(
     """Full render path: prefilter -> decode -> preprocess -> tiled splat
     (the reference's train-loop body, train.py:144-146).
 
-    `sphere_proxy` is a zeros [C*k, 3] tensor added to the unit-sphere means;
-    its gradient is the densification signal (the reference reads
+    `sphere_proxy` is a zeros [C, k, 3] tensor added to the unit-sphere
+    means; its gradient is the densification signal (the reference reads
     viewspace_points.grad[:, 2:], gaussian_model.py:617-619).
 
     With `rcfg.visible_anchor_cap > 0` (render/eval path), the prefiltered
@@ -341,9 +353,9 @@ def render_field(
             frame.w2s_rot, frame.w2s_trans, frame.beams, frame.W, rcfg,
         )
 
-    if rcfg.remat_projection:
-        _proj = jax.checkpoint(_proj)
-    splats = _proj(ng.xyz, ng.scaling, ng.rot, ng.opacity, ng.feat, ng.mask)
+    splats = _maybe_remat(_proj, rcfg)(
+        ng.xyz, ng.scaling, ng.rot, ng.opacity, ng.feat, ng.mask
+    )
     if sphere_proxy is not None:
         splats = splats._replace(sphere_mean=splats.sphere_mean + sphere_proxy)
     out = render_tiled(splats, frame.beams, frame.W, bg, rcfg, tile_spec=tile_spec)
@@ -382,8 +394,12 @@ def render_field_surfel(
             frame.w2s_rot, frame.w2s_trans, frame.beams, frame.W, rcfg,
         )
 
-    if rcfg.remat_projection:
-        _proj = jax.checkpoint(_proj)
-    pk = _proj(xyz, ng.scaling[:, :2], ng.rot, ng.opacity, ng.feat, ng.mask)
+    # the surfel preprocess/pack keeps the flat [P, ...] contract for now —
+    # flatten the anchor-major decode here (the beam path's relayout win is
+    # staged for the surfel kernels separately)
+    flat = lambda x: x.reshape((-1,) + x.shape[2:])
+    pk = _maybe_remat(_proj, rcfg)(
+        flat(xyz), flat(ng.scaling)[:, :2], flat(ng.rot),
+        flat(ng.opacity), flat(ng.feat), flat(ng.mask))
     out = render_surfels(pk, frame.beams, frame.W, bg, rcfg, C=ng.feat.shape[-1])
     return out, ng, anchor_visible

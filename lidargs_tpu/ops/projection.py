@@ -64,7 +64,14 @@ def quat_rotate_inv(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 
 class Splats(NamedTuple):
     """Preprocessed per-gaussian render state (the analogue of the CUDA
-    GeometryState buffers, rasterizer_impl.h:23-40)."""
+    GeometryState buffers, rasterizer_impl.h:23-40).
+
+    The per-gaussian leading shape [P] below is whatever the caller passed
+    in — preprocess_gaussians is elementwise over gaussians, so the decode
+    can keep its natural [C, k] anchor-major shape all the way through
+    packing (avoiding the [C,·]->[C*k,·] relayouts that dominated the r4
+    front section; the single flatten happens on the packed rows in
+    render_tiled)."""
 
     valid: jnp.ndarray        # [P] bool — survives culling
     depth: jnp.ndarray        # [P] euclidean range (sort key + depth channel)
@@ -110,12 +117,12 @@ def _round_half_away(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def preprocess_gaussians(
-    means3d: jnp.ndarray,     # [P,3] world
-    scales: jnp.ndarray,      # [P,3] covariance scales (activated)
-    quats: jnp.ndarray,       # [P,4] normalized (r,x,y,z)
-    opacities: jnp.ndarray,   # [P]
-    feat: jnp.ndarray,        # [P,C]
-    mask: jnp.ndarray,        # [P] bool — upstream validity (padding/opacity)
+    means3d: jnp.ndarray,     # [...,3] world (any per-gaussian leading shape)
+    scales: jnp.ndarray,      # [...,3] covariance scales (activated)
+    quats: jnp.ndarray,       # [...,4] normalized (r,x,y,z)
+    opacities: jnp.ndarray,   # [...]
+    feat: jnp.ndarray,        # [...,C]
+    mask: jnp.ndarray,        # [...] bool — upstream validity (padding/opacity)
     w2s_rot: jnp.ndarray,     # [3,3]
     w2s_trans: jnp.ndarray,   # [3]
     beams: jnp.ndarray,       # [H] ascending inclinations
@@ -129,7 +136,7 @@ def preprocess_gaussians(
     # tiny geometric matmuls must stay f32 on the MXU (default TPU matmul
     # precision is bf16, which breaks range-image parity)
     hi = jax.lax.Precision.HIGHEST
-    p_view_raw = jnp.matmul(means3d, w2s_rot.T, precision=hi) + w2s_trans  # [P,3]
+    p_view_raw = jnp.matmul(means3d, w2s_rot.T, precision=hi) + w2s_trans  # [...,3]
 
     # Double-where NaN hygiene: padded/degenerate rows are replaced by a safe
     # point *before* any singular op (norm/atan2 at the origin have NaN
@@ -138,20 +145,20 @@ def preprocess_gaussians(
     sq = jnp.sum(p_view_raw * p_view_raw, axis=-1)
     mask = mask & (sq > 0.0)
     e_x = jnp.array([1.0, 0.0, 0.0], p_view_raw.dtype)
-    p_view = jnp.where(mask[:, None], p_view_raw, e_x)
+    p_view = jnp.where(mask[..., None], p_view_raw, e_x)
     dist = jnp.sqrt(jnp.sum(p_view * p_view, axis=-1))
     valid = mask & (dist < cfg.far) & (dist > cfg.near)
 
     # --- micro cross-section basis (view space), _proj_2basis ---
     safe_dist = jnp.maximum(dist, 1e-12)
-    dirn = p_view / safe_dist[:, None]
-    horiz2 = dirn[:, 0] ** 2 + dirn[:, 1] ** 2
+    dirn = p_view / safe_dist[..., None]
+    horiz2 = dirn[..., 0] ** 2 + dirn[..., 1] ** 2
     degenerate = horiz2 <= 0.0
     valid = valid & ~degenerate
-    u1_raw = jnp.stack([dirn[:, 1], -dirn[:, 0], jnp.zeros_like(dist)], -1)
-    u1_raw = jnp.where(degenerate[:, None], e_x, u1_raw)
+    u1_raw = jnp.stack([dirn[..., 1], -dirn[..., 0], jnp.zeros_like(dist)], -1)
+    u1_raw = jnp.where(degenerate[..., None], e_x, u1_raw)
     u1_len = jnp.sqrt(jnp.where(degenerate, 1.0, horiz2))
-    u1 = u1_raw / u1_len[:, None]
+    u1 = u1_raw / u1_len[..., None]
     u2 = jnp.cross(dirn, u1)
 
     # --- cov3D -> projected 2x2 cov (computeCov2D_lidar) ---
@@ -173,18 +180,18 @@ def preprocess_gaussians(
     det = a * c - b * b
     valid = valid & (det > 0.0)
     det_safe = jnp.where(det > 0.0, det, 1.0)
-    conic = jnp.stack([c, -b, a], -1) / det_safe[:, None]
+    conic = jnp.stack([c, -b, a], -1) / det_safe[..., None]
 
     mid = 0.5 * (a + c)
     lam_max = mid + jnp.sqrt(jnp.maximum(1e-9, mid * mid - det))
     sigma = jnp.sqrt(jnp.maximum(1e-9, lam_max))
 
     # --- range-image coordinates ---
-    p_flat = jnp.where(degenerate[:, None], e_x, p_view)  # guard atan2(0,0) grads
-    beta = jnp.pi - jnp.arctan2(p_flat[:, 1], p_flat[:, 0])
+    p_flat = jnp.where(degenerate[..., None], e_x, p_view)  # guard atan2(0,0) grads
+    beta = jnp.pi - jnp.arctan2(p_flat[..., 1], p_flat[..., 0])
     p_c = beta / (two_pi / W)
-    horiz = jnp.sqrt(jnp.where(degenerate, 1.0, p_flat[:, 0] ** 2 + p_flat[:, 1] ** 2))
-    alpha_el = jnp.arctan2(p_flat[:, 2], horiz)
+    horiz = jnp.sqrt(jnp.where(degenerate, 1.0, p_flat[..., 0] ** 2 + p_flat[..., 1] ** 2))
+    alpha_el = jnp.arctan2(p_flat[..., 2], horiz)
     row, gap, row_ok = _project_rows(alpha_el, beams, cfg.ray_divergence_angle)
     valid = valid & row_ok
     p_r = H - row - 1.0
@@ -207,7 +214,9 @@ def preprocess_gaussians(
 
     pix_rect = jnp.stack([rmin_x * bx, rmax_x * bx, rmin_y * by, rmax_y * by], -1)
 
-    zero_if = lambda x: jnp.where(valid[(...,) + (None,) * (x.ndim - 1)], x, jnp.zeros_like(x))
+    zero_if = lambda x: jnp.where(
+        valid if x.ndim == valid.ndim else valid[..., None], x, jnp.zeros_like(x)
+    )
     # finite sort-last sentinel (inf would 0*inf=NaN in masked compositing)
     depth_sentinel = 4.0 * cfg.far
     return Splats(
@@ -220,7 +229,7 @@ def preprocess_gaussians(
         opacity=jnp.where(valid, opacities, 0.0).astype(f32),
         feat=feat.astype(f32),
         center=jnp.stack([p_c, p_r], -1).astype(f32),
-        radii_xy=jnp.where(valid[:, None], jnp.stack([r_x, r_y], -1), 0.0).astype(jnp.int32),
+        radii_xy=jnp.where(valid[..., None], jnp.stack([r_x, r_y], -1), 0.0).astype(jnp.int32),
         pix_rect=pix_rect.astype(jnp.int32),
     )
 
@@ -259,25 +268,26 @@ class PackedCols:
 
 
 def pack_splats(sp: Splats) -> jnp.ndarray:
-    """Splats -> packed [P, F] f32 (PackedCols layout). Differentiable; the
-    int fields are converted, not rounded (they are already integral)."""
+    """Splats -> packed [..., F] f32 (PackedCols layout), preserving the
+    per-gaussian leading shape. Differentiable; the int fields are
+    converted, not rounded (they are already integral)."""
     C = sp.feat.shape[-1]
     cols = [
         sp.sphere_mean,
         sp.u1,
         sp.u2,
         sp.conic,
-        sp.opacity[:, None],
-        sp.depth[:, None],
+        sp.opacity[..., None],
+        sp.depth[..., None],
         sp.feat,
         sp.pix_rect.astype(jnp.float32),
         sp.center,
-        sp.valid.astype(jnp.float32)[:, None],
+        sp.valid.astype(jnp.float32)[..., None],
     ]
-    pk = jnp.concatenate(cols, axis=1)
-    pad = PackedCols.width(C) - pk.shape[1]
+    pk = jnp.concatenate(cols, axis=-1)
+    pad = PackedCols.width(C) - pk.shape[-1]
     if pad:
-        pk = jnp.pad(pk, ((0, 0), (0, pad)))
+        pk = jnp.pad(pk, [(0, 0)] * (pk.ndim - 1) + [(0, pad)])
     return pk
 
 

@@ -43,7 +43,7 @@ def dp_train_step(
     C = state.params["anchor"].shape[0]
     k = mcfg.n_offsets
     B = frames.gt_image.shape[0]
-    proxy0 = jnp.zeros((B, C * k, 3), jnp.float32)
+    proxy0 = jnp.zeros((B, C, k, 3), jnp.float32)
 
     def loss_fn(params, proxy_b):
         def one(frame, proxy):
@@ -72,14 +72,16 @@ def dp_train_step(
 
     if update_stats:
         vis_anchor_b = anchor_vis_b & state.valid[None]              # [B, C]
-        op_b = jnp.maximum(neural_op_b, 0.0).reshape(B, C, k)
+        op_b = jnp.maximum(neural_op_b, 0.0)                         # [B, C, k]
         opacity_accum = state.opacity_accum + jnp.sum(
             jnp.where(vis_anchor_b, op_b.sum(-1), 0.0), axis=0
         )
         anchor_demon = state.anchor_demon + vis_anchor_b.sum(0).astype(jnp.float32)
-        stat_mask_b = sel_mask_b & visible_b                          # [B, C*k]
+        # sel_mask is anchor-major [B,C,k]; visible matches the splat shape
+        # ([B,C,k] beam, flat [B,C*k] surfel) — flatten each before combining
+        stat_mask_b = sel_mask_b.reshape(B, -1) & visible_b.reshape(B, -1)
         # mean-loss gradients are 1/B of per-frame sums; undo for the stats
-        gnorm_b = jnp.linalg.norm(proxy_grad, axis=-1) * B
+        gnorm_b = (jnp.linalg.norm(proxy_grad, axis=-1) * B).reshape(B, -1)
         offset_grad_accum = state.offset_grad_accum + jnp.sum(
             jnp.where(stat_mask_b, gnorm_b, 0.0), axis=0
         )

@@ -76,7 +76,8 @@ def render_field_sharded(
             ng.xyz, ng.scaling, ng.rot, ng.opacity, ng.feat, ng.mask,
             frame.w2s_rot, frame.w2s_trans, frame.beams, frame.W, rcfg,
         )
-        pk_l = pack_splats(splats)                        # [P/D, F]
+        pk_l = pack_splats(splats)                        # [C/D, k, F]
+        pk_l = pk_l.reshape(-1, pk_l.shape[-1])           # [P/D, F]
         # one collective: gather every device's packed splats (order =
         # global anchor order, so downstream matches the single-chip path)
         pk = jax.lax.all_gather(pk_l, axis, axis=0, tiled=True)   # [P, F]

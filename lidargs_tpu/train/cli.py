@@ -165,9 +165,14 @@ def build_config(argv=None):
         depth_min = 5.0 if args.data_label == "waymo" else 1.0
     eff_cap = (args.tile_capacity if args.tile_capacity is not None
                else (384 if args.surfel else 768))
+    eff_tile_h = (args.tile_h if args.tile_h is not None
+                  else (1 if args.surfel else 4))
+    # default-on only in the measured configuration (beam, wide tiles,
+    # large K — the r4 win was h4/K768; h1 runs are unmeasured, ADVICE r4)
     remat_proj = (bool(args.remat_projection)
                   if args.remat_projection is not None
-                  else (not args.surfel and eff_cap >= 768))
+                  else (not args.surfel and eff_cap >= 768
+                        and eff_tile_h >= 4))
 
     cfg = TrainConfig(
         model=ModelConfig(voxel_size=args.voxel_size,
@@ -190,8 +195,7 @@ def build_config(argv=None):
                 # config that measured better end-of-training quality at
                 # equal training speed. The surfel kernel keeps the 1x128
                 # layout (its pallas path requires tile_h=1).
-                ("tile_h", args.tile_h if args.tile_h is not None
-                 else (1 if args.surfel else 4)),
+                ("tile_h", eff_tile_h),
                 ("tile_capacity", eff_cap),
                 ("max_tiles_per_gaussian", args.max_tiles_per_gaussian
                  if args.max_tiles_per_gaussian is not None

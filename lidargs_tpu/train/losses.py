@@ -121,7 +121,7 @@ def lidar_losses(
 
     n_sel = jnp.maximum(jnp.sum(scaling_mask), 1.0)
     scaling_reg = scale_reg * jnp.sum(
-        jnp.prod(scaling, axis=1) * scaling_mask
+        jnp.prod(scaling, axis=-1) * scaling_mask
     ) / n_sel
 
     pred_gx = jnp.abs(depth[:, :, :-1] - depth[:, :, 1:])

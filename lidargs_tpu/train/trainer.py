@@ -94,7 +94,7 @@ def frame_loss(
             params, valid, frame, mcfg, rcfg, bg, sphere_proxy=proxy
         )
     lt = lidar_losses(
-        out.color, out.depth, frame.gt_image, ng.scaling[:, :2]
+        out.color, out.depth, frame.gt_image, ng.scaling[..., :2]
         if variant == "surfel" else ng.scaling, ng.mask,
         lambda_dssim=ocfg.lambda_dssim,
         raydrop_lambda=ocfg.raydrop_lambda,
@@ -148,7 +148,7 @@ def train_step(
     static cfgs via functools.partial or Trainer below."""
     C = state.params["anchor"].shape[0]
     k = mcfg.n_offsets
-    proxy0 = jnp.zeros((C * k, 3), jnp.float32)
+    proxy0 = jnp.zeros((C, k, 3), jnp.float32)
 
     def loss_fn(params, proxy):
         return frame_loss(params, proxy, state.valid, state.step, frame,
@@ -161,11 +161,13 @@ def train_step(
     # --- densification statistics (training_statis) ---
     if update_stats:
         vis_anchor = anchor_vis & state.valid                       # [C]
-        op = jnp.maximum(ng.neural_opacity, 0.0).reshape(C, k)
+        op = jnp.maximum(ng.neural_opacity, 0.0)                    # [C,k]
         opacity_accum = state.opacity_accum + jnp.where(vis_anchor, op.sum(1), 0.0)
         anchor_demon = state.anchor_demon + vis_anchor.astype(jnp.float32)
-        stat_mask = ng.sel_mask & out.visible                       # [C*k]
-        gnorm = jnp.linalg.norm(proxy_grad, axis=-1)
+        # sel_mask is anchor-major [C,k]; visible matches the splat shape
+        # ([C,k] beam, flat [C*k] surfel) — flatten each before combining
+        stat_mask = ng.sel_mask.reshape(-1) & out.visible.reshape(-1)  # [C*k]
+        gnorm = jnp.linalg.norm(proxy_grad, axis=-1).reshape(-1)
         offset_grad_accum = state.offset_grad_accum + jnp.where(stat_mask, gnorm, 0.0)
         offset_denom = state.offset_denom + stat_mask.astype(jnp.float32)
     else:

@@ -69,15 +69,15 @@ def test_field_init_and_decode():
             p, field.valid, jnp.ones_like(field.valid), jnp.zeros(3), MCFG
         )
     )(field.params)
-    Ck = MCFG.anchor_capacity * MCFG.n_offsets
-    assert ng.xyz.shape == (Ck, 3)
-    assert ng.feat.shape == (Ck, 2)
+    Ca, k = MCFG.anchor_capacity, MCFG.n_offsets
+    assert ng.xyz.shape == (Ca, k, 3)
+    assert ng.feat.shape == (Ca, k, 2)
     assert float(ng.feat.min()) >= 0.0 and float(ng.feat.max()) <= 1.0  # sigmoid
     assert float(jnp.abs(ng.opacity).max()) <= 1.0                      # tanh
     # invalid anchors never produce gaussians
-    assert not bool(ng.mask.reshape(MCFG.anchor_capacity, -1)[n:].any())
+    assert not bool(ng.mask[n:].any())
     # quaternions normalized
-    q = np.linalg.norm(np.asarray(ng.rot), axis=1)
+    q = np.linalg.norm(np.asarray(ng.rot), axis=-1)
     np.testing.assert_allclose(q, 1.0, atol=1e-5)
 
 
@@ -130,6 +130,38 @@ def test_training_reduces_loss():
     assert float(state.anchor_demon.max()) > 50
     assert float(state.offset_denom.max()) > 0
     assert float(state.offset_grad_accum.max()) > 0
+
+
+def test_remat_projection_grad_parity():
+    """remat_projection recomputes the projection in the backward
+    (jax.checkpoint) — gradients must be identical to the stored-residual
+    path (ADVICE r4: the checkpointed path had no grad coverage)."""
+    from lidargs_tpu.config import replace
+
+    frame, _ = _synthetic_frame(jax.random.key(11))
+    field = _init_field(jax.random.key(12), frame)
+
+    def loss(params, rcfg):
+        out, ng, _ = render_field(params, field.valid, frame, MCFG, rcfg,
+                                  jnp.zeros((2,)))
+        return jnp.sum(jnp.abs(out.color - frame.gt_image[:2])) + jnp.sum(
+            out.depth
+        ) + jnp.sum(ng.scaling)
+
+    g0 = jax.jit(jax.grad(lambda p: loss(p, RCFG)))(field.params)
+    g1 = jax.jit(jax.grad(
+        lambda p: loss(p, replace(RCFG, remat_projection=True))
+    ))(field.params)
+    for k in g0:
+        # not bitwise: the recomputed projection fuses differently in the
+        # backward, so individual elements can differ in the last ulps
+        # (observed: 1/1536 elements off by ~1e-5 relative)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+            ),
+            g0[k], g1[k],
+        )
 
 
 @pytest.mark.heavy  # convergence run (62s)
@@ -279,14 +311,14 @@ def test_fused_head_decode_matches_separate():
     cat = jnp.concatenate([p["feat"], obv, dist], 1)
     k = mcfg.n_offsets
     Cap = anchor.shape[0]
-    op = jnp.tanh(apply_mlp(p["mlp_opacity"], cat)).reshape(-1)
-    inten = jax.nn.sigmoid(apply_mlp(p["mlp_color"], cat)).reshape(Cap * k, 1)
-    rd = jax.nn.sigmoid(apply_mlp(p["mlp_raydrop"], cat)).reshape(Cap * k, 1)
+    op = jnp.tanh(apply_mlp(p["mlp_opacity"], cat))                  # [C,k]
+    inten = jax.nn.sigmoid(apply_mlp(p["mlp_color"], cat)).reshape(Cap, k, 1)
+    rd = jax.nn.sigmoid(apply_mlp(p["mlp_raydrop"], cat)).reshape(Cap, k, 1)
     np.testing.assert_allclose(np.asarray(ng.opacity), np.asarray(op),
                                rtol=1e-6, atol=1e-7)
-    np.testing.assert_allclose(np.asarray(ng.feat[:, :1]), np.asarray(inten),
+    np.testing.assert_allclose(np.asarray(ng.feat[..., :1]), np.asarray(inten),
                                rtol=1e-6, atol=1e-7)
-    np.testing.assert_allclose(np.asarray(ng.feat[:, 1:]), np.asarray(rd),
+    np.testing.assert_allclose(np.asarray(ng.feat[..., 1:]), np.asarray(rd),
                                rtol=1e-6, atol=1e-7)
 
 

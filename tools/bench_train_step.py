@@ -93,6 +93,10 @@ def main():
         hit = lambda v: any(p[1:] == v if p.startswith("=") else p in v
                             for p in picks)
         variants = [(v, vr) for v, vr in variants if hit(v)]
+        if not variants:
+            raise SystemExit(f"no variants match filters {picks!r} — "
+                             "nothing benchmarked")
+        print("# selected:", ", ".join(v for v, _ in variants), flush=True)
     for variant, vr in variants:
         base_variant = "surfel" if variant.startswith("surfel") else "beam"
         # re-materialize from host copies: donate_argnums consumes the

@@ -101,17 +101,34 @@ def build_stages(args):
     return st, tiles
 
 
-def bench_sol_ms(visible=131072, instances=1_350_000, tile_h=1,
-                 tile_capacity=384, H=64, W=2650) -> float:
-    """Sum-of-stage SoL in ms at the bench workload — importable so
-    bench.py can print measured FPS as a % of speed-of-light (VERDICT r3
-    weak-#1: track the gap per round, not per memory)."""
+def bench_stages(visible=131072, instances=None, tile_h=1,
+                 tile_capacity=384, max_tiles_per_gaussian=16,
+                 max_visible=131072, H=64, W=2650):
+    """Stage list at the bench workload for a LIVE raster config —
+    importable so bench.py can print a per-stage measured-vs-SoL table for
+    its winner (VERDICT r4 #7: the r3-era model assumed the h1 pipeline —
+    dense V*16 keys, K=384 gather — and understated wide-tile SoL gaps).
+
+    `visible` is the decoded-gaussian count surviving the cull (capped by
+    max_visible: the sort front-packs valid rows and truncates). The bin
+    sort handles V * max_tiles_per_gaussian static key slots; instances
+    default to that static count (the emission is not compacted)."""
+    V = min(visible, max_visible)
+    if instances is None:
+        instances = V * max_tiles_per_gaussian
     ns = argparse.Namespace(
         H=H, W=W, tile_h=tile_h, tile_w=128, tile_capacity=tile_capacity,
         anchors=65536, n_offsets=6, feat_dim=32, mlp_hidden=32,
-        packed_floats=22, visible=visible, instances=instances,
+        packed_floats=22, visible=V, instances=instances,
     )
-    st, _ = build_stages(ns)
+    return build_stages(ns)[0]
+
+
+def bench_sol_ms(visible=131072, instances=None, **kw) -> float:
+    """Sum-of-stage SoL in ms at the bench workload — importable so
+    bench.py can print measured FPS as a % of speed-of-light (VERDICT r3
+    weak-#1: track the gap per round, not per memory)."""
+    st = bench_stages(visible=visible, instances=instances, **kw)
     return sum(s["sol_s"] for s in st) * 1e3
 
 

@@ -149,9 +149,10 @@ def main():
 
         def _pk(p, v, f):
             ng = _ng(p, v, f)
-            return pack_splats(preprocess_gaussians(
+            pk = pack_splats(preprocess_gaussians(
                 ng.xyz, ng.scaling, ng.rot, ng.opacity, ng.feat, ng.mask,
                 f.w2s_rot, f.w2s_trans, f.beams, f.W, rcfg))
+            return pk.reshape(-1, pk.shape[-1])
 
         def upto_project(p, v, f):
             return jnp.sum(_pk(p, v, f), axis=0)        # all cols live
@@ -308,7 +309,8 @@ def main():
 
     proj = jax.jit(lambda ng, f: pack_splats(preprocess_gaussians(
         ng.xyz, ng.scaling, ng.rot, ng.opacity, ng.feat, ng.mask,
-        f.w2s_rot, f.w2s_trans, f.beams, f.W, rcfg)))
+        f.w2s_rot, f.w2s_trans, f.beams, f.W, rcfg)).reshape(
+            -1, PackedCols.width(ng.feat.shape[-1])))
     t, pk = timeit(proj, ng, frame)
     stage_ms["projection"] = t
     print(f"projection+pack     : {t:7.2f} ms")
