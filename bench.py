@@ -255,8 +255,7 @@ def main() -> None:
 
     fps = 1.0 / dt
     rays_per_s = H * W * fps
-    best_kw = dict(kw2 for nm, kw2 in variants if nm == best_name) \
-        if best_name != "base" else {}
+    best_kw = next((kw2 for nm, kw2 in variants if nm == best_name), {})
     win_rcfg = replace(base_rcfg, **best_kw)
     try:  # % of speed-of-light at the WINNER's live pipeline shape
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
@@ -317,6 +316,59 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — diagnostics only
             msg = repr(e).replace("\n", " ")[:120]
             print(f"# stage split skipped ({msg})", file=sys.stderr)
+    # Street-like scene: anchors along a 300 m road corridor with the
+    # sensor at one end, so only ~half survive the near/far prefilter —
+    # the regime where compact-then-decode (visible_anchor_cap) can win
+    # (VERDICT r4 #1: the shell scene structurally cannot reward it; the
+    # r4 compact-then-decode rejection was measured only there). Printed
+    # to stderr so decode-path wins are tracked by the round gate.
+    if (os.environ.get("BENCH_STREET", "1") != "0"
+            and time.perf_counter() - t_tune < budget_s + 300):
+        try:
+            rng_s = np.random.default_rng(7)
+            xs = rng_s.uniform(-20.0, 300.0, N_ANCHORS)
+            side = rng_s.choice([-1.0, 1.0], N_ANCHORS)
+            ys = side * rng_s.uniform(4.0, 14.0, N_ANCHORS)
+            # z from an in-band elevation sample so the near/far cull (not
+            # the beam-row cull) decides visibility — the corridor length
+            # vs far=80 sets the ~1/3-visible street regime
+            horiz = np.sqrt(xs * xs + ys * ys)
+            el_s = rng_s.uniform(np.radians(-18.0), np.radians(1.5),
+                                 N_ANCHORS)
+            zs = horiz * np.tan(el_s)
+            pts_s = np.stack([xs, ys, zs], -1).astype(np.float32)
+            params_s = dict(params)
+            params_s["anchor"] = params["anchor"].at[:N_ANCHORS].set(
+                jnp.asarray(pts_s))
+            rr = np.maximum(np.linalg.norm(pts_s, axis=1), 2.0)
+            sc = np.log(np.clip(rr * 0.004, 0.02, 0.5)).astype(np.float32)
+            params_s["scaling"] = params["scaling"].at[:N_ANCHORS].set(
+                jnp.asarray(np.repeat(sc[:, None], 6, axis=1)))
+            args_s = (params_s, valid, frame)
+
+            fwd_w = make_fwd(win_rcfg)
+            out_w = fwd_w(*args_s)
+            jax.block_until_ready(out_w.color)
+            nvis_s = int(out_w.visible.sum())
+            dt_w = _time_fwd(fwd_w, args_s, 12, warmup=3)
+            print(f"# street    : {dt_w*1e3:7.2f} ms/frame  "
+                  f"visible={nvis_s} "
+                  f"({100.0*nvis_s/(N_ANCHORS*mcfg.n_offsets):.0f}% of "
+                  f"decoded)", file=sys.stderr)
+            cap = 32768
+            fwd_c = make_fwd(replace(win_rcfg, visible_anchor_cap=cap))
+            out_c = fwd_c(*args_s)
+            jax.block_until_ready(out_c.color)
+            err_c = float(jnp.abs(out_c.color - out_w.color).max())
+            dt_c = _time_fwd(fwd_c, args_s, 12, warmup=3)
+            verdict = ("wins" if dt_c < dt_w and err_c < 1e-4 else "loses")
+            print(f"# street+cap{cap//1024}k: {dt_c*1e3:7.2f} ms/frame  "
+                  f"max|d|={err_c:.2e}  -> compact-then-decode {verdict}",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — diagnostics only
+            msg = repr(e).replace("\n", " ")[:120]
+            print(f"# street scene skipped ({msg})", file=sys.stderr)
+
     result = {
         "metric": "render_fps_64x2650_scaffold_k6",
         "value": round(fps, 2),

@@ -134,12 +134,13 @@ class NeuralGaussians(NamedTuple):
     """Decoded per-view gaussians, anchor-major [C, k, ...].
 
     The anchor-major shape is load-bearing for TPU performance: collapsing
-    to [C*k, x] (x = 3/4/7) between the decode GEMMs and the projection
-    forces a relayout per array (the (k, x) minor dims re-tile) and breaks
-    XLA fusion — measured +1.8 ms/frame at bench scale (r5,
-    tools/bench_front_ab.py). The projection is elementwise over gaussians
-    and consumes [C, k, ...] directly; the ONE flatten happens on the
-    packed [C, k, F] rows inside render_tiled."""
+    to [C*k, x] (x = 3/4/7) INSIDE the decode epilogue forces a relayout
+    per array (the (k, x) minor dims re-tile) and breaks XLA fusion —
+    measured +1.8 ms/frame at bench scale (r5, tools/bench_front_ab.py).
+    The decode stays [C, k, ...]; render_field pays the one flatten at the
+    projection boundary, the cheapest measured place for it (DESIGN §13:
+    flattening the six narrow decode outputs 3.4 ms upto-cull vs 6.6 ms
+    for relayouting packed [C,k,F] rows after projection)."""
 
     xyz: jnp.ndarray         # [C, k, 3]
     feat: jnp.ndarray        # [C, k, channels] (intensity..., raydrop)
@@ -353,11 +354,20 @@ def render_field(
             frame.w2s_rot, frame.w2s_trans, frame.beams, frame.W, rcfg,
         )
 
+    # Flatten the anchor-major decode HERE, at the projection boundary —
+    # measured (r5 on-chip pack A/B -> DESIGN §13) as the cheapest place to
+    # pay the one [C,k,.]->[C*k,.] relayout: flattening the six narrow
+    # decode outputs (upto-cull prefix 3.4 ms) beats relayouting the packed
+    # [C,k,F] rows after projection (6.6 ms) or flattening inside the pack
+    # concat (4.1 ms) at bench scale.
+    flat = lambda x: x.reshape((-1,) + x.shape[2:])
     splats = _maybe_remat(_proj, rcfg)(
-        ng.xyz, ng.scaling, ng.rot, ng.opacity, ng.feat, ng.mask
+        flat(ng.xyz), flat(ng.scaling), flat(ng.rot),
+        flat(ng.opacity), flat(ng.feat), flat(ng.mask)
     )
     if sphere_proxy is not None:
-        splats = splats._replace(sphere_mean=splats.sphere_mean + sphere_proxy)
+        splats = splats._replace(
+            sphere_mean=splats.sphere_mean + sphere_proxy.reshape(-1, 3))
     out = render_tiled(splats, frame.beams, frame.W, bg, rcfg, tile_spec=tile_spec)
     if n_anchor_drop is not None:
         out = out._replace(n_dropped=out.n_dropped

@@ -67,11 +67,12 @@ class Splats(NamedTuple):
     GeometryState buffers, rasterizer_impl.h:23-40).
 
     The per-gaussian leading shape [P] below is whatever the caller passed
-    in — preprocess_gaussians is elementwise over gaussians, so the decode
-    can keep its natural [C, k] anchor-major shape all the way through
-    packing (avoiding the [C,·]->[C*k,·] relayouts that dominated the r4
-    front section; the single flatten happens on the packed rows in
-    render_tiled)."""
+    in — preprocess_gaussians is elementwise over gaussians, so any leading
+    batch shape works. Production (render_field) flattens the anchor-major
+    decode to [P, .] at this boundary: keeping [C, k, .] through packing
+    re-tiles the packed [C,k,F] rows at the cull (measured 2x worse,
+    DESIGN §13), while flattening the narrow inputs here is the cheapest
+    site for the one relayout the pipeline needs."""
 
     valid: jnp.ndarray        # [P] bool — survives culling
     depth: jnp.ndarray        # [P] euclidean range (sort key + depth channel)

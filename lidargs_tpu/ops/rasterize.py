@@ -74,8 +74,7 @@ class RenderOut(NamedTuple):
     depth: jnp.ndarray       # [H, W]
     occ: jnp.ndarray         # [H, W] 1 - final transmittance
     final_T: jnp.ndarray     # [H, W]
-    visible: jnp.ndarray     # bool, the input splats' per-gaussian leading
-                             # shape ([P] or anchor-major [C, k]) — radii > 0
+    visible: jnp.ndarray     # [P] bool — per input gaussian (radii > 0)
     n_dropped: jnp.ndarray   # [] valid gaussians beyond max_visible
     n_overflow: jnp.ndarray  # [] instances beyond tile_capacity
 
@@ -366,7 +365,7 @@ def render_tiled(
     compositing scan partitions cleanly; only the (cheap) binning sort and
     image reassembly communicate."""
     H = beams.shape[0]
-    P = splats.valid.size
+    P = splats.valid.shape[0]
     gy, gx = cfg.grid_shape(H, W)
     Tn = gy * gx
     C = splats.feat.shape[-1]
@@ -377,13 +376,11 @@ def render_tiled(
     # (projection.py), so sorting by depth alone front-packs the valid
     # gaussians in depth order; truncation to max_visible then drops the
     # *farthest* (most-occluded) gaussians first.
-    # The splats may arrive anchor-major [C, k, ...] (see Splats docstring);
-    # this reshape of the packed rows is the pipeline's ONE flatten.
     V = min(cfg.max_visible, P)
-    pk = pack_splats(splats).reshape(P, F)                      # [P, F]
-    depth = pk[:, PackedCols.DEPTH]
+    pk = pack_splats(splats)                                    # [P, F]
     _, sel = jax.lax.sort(
-        (depth, jnp.arange(P, dtype=jnp.int32)), num_keys=1, is_stable=True
+        (splats.depth, jnp.arange(P, dtype=jnp.int32)), num_keys=1,
+        is_stable=True
     )
     pkv = permutation_rows(pk, sel, V)                          # [V, F] wide rows
     vvalid = pkv[:, PackedCols.validf(C)] > 0.0

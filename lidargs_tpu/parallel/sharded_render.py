@@ -66,6 +66,9 @@ def render_field_sharded(
     Tl = -(-T // D)                 # per-device tile window (last may overhang)
     C = mcfg.color_channel
 
+    # one flatten at the projection boundary, like render_field (DESIGN §13)
+    fl = lambda x: x.reshape((-1,) + x.shape[2:])
+
     def shard_fn(params_l, valid_l, frame):
         dev = jax.lax.axis_index(axis)
         anchor_vis = prefilter_anchors(params_l, valid_l, frame, rcfg)
@@ -73,11 +76,11 @@ def render_field_sharded(
             params_l, valid_l, anchor_vis, frame.center, mcfg, cam_uid=frame.uid
         )
         splats = preprocess_gaussians(
-            ng.xyz, ng.scaling, ng.rot, ng.opacity, ng.feat, ng.mask,
+            fl(ng.xyz), fl(ng.scaling), fl(ng.rot),
+            fl(ng.opacity), fl(ng.feat), fl(ng.mask),
             frame.w2s_rot, frame.w2s_trans, frame.beams, frame.W, rcfg,
         )
-        pk_l = pack_splats(splats)                        # [C/D, k, F]
-        pk_l = pk_l.reshape(-1, pk_l.shape[-1])           # [P/D, F]
+        pk_l = pack_splats(splats)                        # [P/D, F]
         # one collective: gather every device's packed splats (order =
         # global anchor order, so downstream matches the single-chip path)
         pk = jax.lax.all_gather(pk_l, axis, axis=0, tiled=True)   # [P, F]

@@ -116,6 +116,14 @@ def build_config(argv=None):
                         "(e.g. cpu for localhost fleets)")
     p.add_argument("--mp_local_devices", type=int, default=None,
                    help="virtual device count per process (CPU fleets)")
+    p.add_argument("--update_from", type=int, default=None,
+                   help="densify schedule start (OptConfig default 500)")
+    p.add_argument("--update_until", type=int, default=None,
+                   help="densify schedule end (OptConfig default 7000)")
+    p.add_argument("--update_interval", type=int, default=None,
+                   help="densify cadence (OptConfig default 100)")
+    p.add_argument("--start_stat", type=int, default=None,
+                   help="densification-statistics start iteration")
     p.add_argument("--test_iterations", type=int, nargs="*", default=None)
     p.add_argument("--save_iterations", type=int, nargs="*", default=None)
     p.add_argument("--checkpoint_iterations", type=int, nargs="*", default=[])
@@ -178,7 +186,13 @@ def build_config(argv=None):
         model=ModelConfig(voxel_size=args.voxel_size,
                           anchor_capacity=args.anchor_capacity),
         opt=replace(OptConfig(), iterations=args.iterations,
-                    raydrop_lambda=rd_lambda, depth_min=depth_min),
+                    raydrop_lambda=rd_lambda, depth_min=depth_min,
+                    **{k: v for k, v in (
+                        ("update_from", args.update_from),
+                        ("update_until", args.update_until),
+                        ("update_interval", args.update_interval),
+                        ("start_stat", args.start_stat),
+                    ) if v is not None}),
         raster=replace(
             RasterConfig(), max_visible=args.max_visible,
             **{k: v for k, v in (
@@ -477,6 +491,7 @@ def main(argv=None):
     ema = None
     densify_key = jax.random.key(cfg.seed)
     t_start = time.time()
+    best_test_psnr, best_test_it = float("-inf"), 0
     for it in range(first_iter + 1, cfg.opt.iterations + 1):
         if args.profile_steps and it == first_iter + 2:   # skip compile step
             profile_ctx = jtrace(os.path.join(cfg.model_path, "trace"))
@@ -559,11 +574,23 @@ def main(argv=None):
 
         if it in cfg.test_iterations:
             if is_coord:
-                res = run_eval(scene, _host(state), trainer, cfg, logger,
+                hs = _host(state)
+                res = run_eval(scene, hs, trainer, cfg, logger,
                                compute_chamfer=args.eval_chamfer, tb=tb,
                                step=it, lpips_weights=args.lpips_weights)
                 if wb.active:
                     wb.log(res["test"], step=it, prefix="test/")
+                # best-test-checkpoint protocol: the reference reports a
+                # test-iteration sweep and saves at fixed iters
+                # (train.py:233-237,583); mid-train quality peaks (e.g. the
+                # densify-era dip, PARITY r4) would otherwise be lost —
+                # keep the best test-PSNR snapshot alongside the final one
+                p = (res.get("test") or {}).get("intensity_psnr")
+                if p is not None and p > best_test_psnr:
+                    best_test_psnr, best_test_it = float(p), it
+                    path = scene.save(hs.params, hs.valid, "best")
+                    logger.info(f"new best test psnr {p:.3f} at iter {it} "
+                                f"-> {path}")
             if rt is not None:
                 rt.sync("eval")
         if it in cfg.save_iterations:
@@ -591,6 +618,13 @@ def main(argv=None):
                        lpips_weights=args.lpips_weights)
         if wb.active:
             wb.log(res["test"], step=cfg.opt.iterations, prefix="test/")
+        final_p = (res.get("test") or {}).get("intensity_psnr")
+        if best_test_it and final_p is not None:
+            logger.info(
+                f"best test psnr {best_test_psnr:.3f} @ iter {best_test_it} "
+                f"(saved at point_cloud/iteration_best) vs final "
+                f"{final_p:.3f} @ {cfg.opt.iterations}"
+            )
         measure_fps(scene, state, trainer, logger)
         if args.dump_renders:
             dump_renders(scene, state, trainer, cfg, logger)

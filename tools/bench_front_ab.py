@@ -138,8 +138,10 @@ def main():
 
     def project(c, p, v, f):
         ng, av = _ng(perturbed(p, c), v, f)
+        fl = lambda x: x.reshape((-1,) + x.shape[2:])
         pk = pack_splats(preprocess_gaussians(
-            ng.xyz, ng.scaling, ng.rot, ng.opacity, ng.feat, ng.mask,
+            fl(ng.xyz), fl(ng.scaling), fl(ng.rot),
+            fl(ng.opacity), fl(ng.feat), fl(ng.mask),
             f.w2s_rot, f.w2s_trans, f.beams, f.W, rcfg))
         return s(pk)
 

@@ -36,14 +36,17 @@ def make_prefixes(mcfg, rcfg, H: int, W: int):
     V = min(rcfg.max_visible, mcfg.anchor_capacity * mcfg.n_offsets)
     gy, gx = rcfg.grid_shape(H, W)
 
+    fl = lambda x: x.reshape((-1,) + x.shape[2:])
+
     def _pk(p, v, f):
         av = prefilter_anchors(p, v, f, rcfg)
         ng = generate_neural_gaussians(p, v, av, f.center, mcfg,
                                        cam_uid=f.uid)
-        pk = pack_splats(preprocess_gaussians(
-            ng.xyz, ng.scaling, ng.rot, ng.opacity, ng.feat, ng.mask,
+        # flatten at the projection boundary, exactly like render_field
+        return pack_splats(preprocess_gaussians(
+            fl(ng.xyz), fl(ng.scaling), fl(ng.rot),
+            fl(ng.opacity), fl(ng.feat), fl(ng.mask),
             f.w2s_rot, f.w2s_trans, f.beams, f.W, rcfg))
-        return pk.reshape(-1, pk.shape[-1])
 
     def upto_front(p, v, f):
         return jnp.sum(_pk(p, v, f))

@@ -149,10 +149,12 @@ def main():
 
         def _pk(p, v, f):
             ng = _ng(p, v, f)
-            pk = pack_splats(preprocess_gaussians(
-                ng.xyz, ng.scaling, ng.rot, ng.opacity, ng.feat, ng.mask,
+            fl = lambda x: x.reshape((-1,) + x.shape[2:])
+            # flatten at the projection boundary, like render_field
+            return pack_splats(preprocess_gaussians(
+                fl(ng.xyz), fl(ng.scaling), fl(ng.rot),
+                fl(ng.opacity), fl(ng.feat), fl(ng.mask),
                 f.w2s_rot, f.w2s_trans, f.beams, f.W, rcfg))
-            return pk.reshape(-1, pk.shape[-1])
 
         def upto_project(p, v, f):
             return jnp.sum(_pk(p, v, f), axis=0)        # all cols live
@@ -307,10 +309,11 @@ def main():
     stage_ms["mlp decode"] = t
     print(f"MLP decode          : {t:7.2f} ms")
 
+    _fl = lambda x: x.reshape((-1,) + x.shape[2:])
     proj = jax.jit(lambda ng, f: pack_splats(preprocess_gaussians(
-        ng.xyz, ng.scaling, ng.rot, ng.opacity, ng.feat, ng.mask,
-        f.w2s_rot, f.w2s_trans, f.beams, f.W, rcfg)).reshape(
-            -1, PackedCols.width(ng.feat.shape[-1])))
+        _fl(ng.xyz), _fl(ng.scaling), _fl(ng.rot),
+        _fl(ng.opacity), _fl(ng.feat), _fl(ng.mask),
+        f.w2s_rot, f.w2s_trans, f.beams, f.W, rcfg)))
     t, pk = timeit(proj, ng, frame)
     stage_ms["projection"] = t
     print(f"projection+pack     : {t:7.2f} ms")
