@@ -118,6 +118,16 @@ class RasterConfig:
     # from the r4 --grad-prefix split (projection autodiff ~3 ms of the
     # 31 ms default step); measured via bench_train_step "+rematproj".
     remat_projection: bool = False
+    # hand-derived single-pass projection VJP (projection.py
+    # preprocess_gaussians_hv): saves only the inputs and fuses recompute +
+    # every cotangent accumulation into one backward pass — no narrow
+    # residual materializations (autodiff: ~4.4 ms fwd+bwd vs ~0.8 ms fwd
+    # inside the default step, r5 --grad-prefix). Exact vs autodiff
+    # (tests/test_projection_vjp.py, f64 to 1e-12) except the beams table,
+    # which gets zero cotangent (fixed sensor calibration, never trained).
+    # Beam path only; ignored when remat_projection is set (checkpoint
+    # wraps the plain function).
+    projection_hand_vjp: bool = True
 
     def grid_shape(self, H: int, W: int) -> Tuple[int, int]:
         return (-(-H // self.tile_h), -(-W // self.tile_w))

@@ -27,7 +27,12 @@ import numpy as np
 
 from ..config import ModelConfig, RasterConfig
 from ..lidar.frames import LidarFrame
-from ..ops.projection import Splats, preprocess_gaussians, visible_filter
+from ..ops.projection import (
+    Splats,
+    preprocess_gaussians,
+    preprocess_gaussians_hv,
+    visible_filter,
+)
 from ..ops.rasterize import RenderOut, render_tiled
 from .mlp import apply_mlp, init_mlp
 
@@ -348,8 +353,15 @@ def render_field(
         params, valid, anchor_visible, frame.center, mcfg, cam_uid=frame.uid
     )
 
+    # hand-derived single-pass projection VJP when enabled (see
+    # RasterConfig.projection_hand_vjp); remat wraps the plain function
+    # (checkpoint already stores inputs only)
+    _pg = (preprocess_gaussians_hv
+           if rcfg.projection_hand_vjp and not rcfg.remat_projection
+           else preprocess_gaussians)
+
     def _proj(xyz, scaling, rot, opacity, feat, mask):
-        return preprocess_gaussians(
+        return _pg(
             xyz, scaling, rot, opacity, feat, mask,
             frame.w2s_rot, frame.w2s_trans, frame.beams, frame.W, rcfg,
         )

@@ -73,10 +73,11 @@ def build_config(argv=None):
     p.add_argument("--remat_projection", type=int, default=None,
                    choices=(0, 1),
                    help="recompute the per-gaussian projection in the "
-                        "backward instead of storing residuals (default: "
-                        "on for beam runs at tile_capacity>=768, where it "
-                        "measured 30.1->28.9 ms/step on v5e; off below "
-                        "that — recompute loses at small K)")
+                        "backward instead of storing residuals (default "
+                        "OFF since r5: the hand-derived projection VJP "
+                        "subsumes the residual saving and measured better "
+                        "— 26.6 vs 28.3 ms/step at h4/K768/cap8; setting "
+                        "this disables the hand VJP)")
     p.add_argument("--fused_gather", action="store_true",
                    help="fused-gather windowed-DMA pallas kernels (no "
                         "[T,K,F] materialization; beam variant)")
@@ -175,12 +176,14 @@ def build_config(argv=None):
                else (384 if args.surfel else 768))
     eff_tile_h = (args.tile_h if args.tile_h is not None
                   else (1 if args.surfel else 4))
-    # default-on only in the measured configuration (beam, wide tiles,
-    # large K — the r4 win was h4/K768; h1 runs are unmeasured, ADVICE r4)
+    # r5: default OFF — the hand-derived projection VJP
+    # (RasterConfig.projection_hand_vjp, on by default) subsumes remat's
+    # residual saving and measured better head-to-head at the training
+    # default (26.6 vs 28.3 ms/step, bench_train_step h4/K768/cap8);
+    # remat disables the hand VJP, so enabling it is now a pessimization
+    # unless the hand VJP is also turned off.
     remat_proj = (bool(args.remat_projection)
-                  if args.remat_projection is not None
-                  else (not args.surfel and eff_cap >= 768
-                        and eff_tile_h >= 4))
+                  if args.remat_projection is not None else False)
 
     cfg = TrainConfig(
         model=ModelConfig(voxel_size=args.voxel_size,
