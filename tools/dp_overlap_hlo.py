@@ -106,7 +106,10 @@ def main() -> None:
                         hlo)
     dones = re.findall(r"\b(all-reduce|reduce-scatter|all-gather)-done\b",
                        hlo)
-    sync = re.findall(r"^\s*\S+ = \S* all-reduce\(", hlo, re.M)
+    # tuple-typed collectives: `%all-reduce.31 = (f32[...], ...) all-reduce(`
+    sync = [m for m in re.findall(r" (all-reduce|reduce-scatter|all-gather)"
+                                  r"(?:\.\d+)?\(", hlo)
+            ] if not starts else []
 
     # overlap evidence: in the scheduled instruction stream, count
     # non-trivial ops (dot/convolution/fusion/sort/gather/scatter) between
